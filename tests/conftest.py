@@ -1,0 +1,38 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh (the TPU-native analog of a fake
+backend): the env vars below must be set before jax is first imported.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+REFERENCE_ROOT = "/root/reference"
+
+import pytest  # noqa: E402
+
+
+def has_reference() -> bool:
+    return os.path.isdir(REFERENCE_ROOT)
+
+
+@pytest.fixture
+def reference_root():
+    """Path to the read-only reference checkout (used as a numeric test
+    oracle only — never copied). Skips if unavailable."""
+    if not has_reference():
+        pytest.skip("reference checkout not available")
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    return REFERENCE_ROOT
