@@ -1,0 +1,138 @@
+"""Benchmark: projected wall-clock of the ayush-demo 20-epoch test-time
+fine-tune on the available TPU chip(s).
+
+Workload mirrors the reference demo config (R_hierarchical2_mc,
+B0.1_R1.0_PL1-0_LR0.0004_BS4_Oadam — reference README.md:58-68):
+MannequinChallenge hourglass, 384x224 depth frames, hierarchical2 pair
+set over 244 frames, batch 4 per chip, Adam, geometric consistency
+loss. Data is synthetic but shape/dtype-identical; the pipeline keeps
+the whole dataset in HBM, so steady-state step time is the whole story.
+
+Measures steady-state train-step latency (post-compile) and projects
+the full 20-epoch fine-tune incl. the 21 eval passes, then compares
+with the reference's 37-minute end-to-end demo figure (RTX 2080,
+README.md:43) scaled to its fine-tune portion.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": ..., "unit": "s", "vs_baseline": ...}
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+
+BASELINE_SECONDS = 37 * 60.0  # reference end-to-end demo (README.md:43)
+
+N_FRAMES = 244
+H, W = 224, 384
+BATCH_PER_CHIP = 4
+EPOCHS = 20
+
+
+def make_workload(n_pairs_cap=None):
+    from consistent_depth_tpu.utils import frame_range, frame_sampling
+
+    fr = frame_range.FrameRange(
+        frame_range.OptionalSet(), num_frames=N_FRAMES)
+    opts = [frame_sampling.SamplePairsOptions(
+        frame_sampling.SamplePairsMode.HIERARCHICAL2)]
+    pairs = sorted(frame_sampling.SamplePairs.to_one_way(
+        frame_sampling.SamplePairs.sample(opts, fr, two_way=True)))
+    if n_pairs_cap:
+        pairs = pairs[:n_pairs_cap]
+
+    rng = np.random.default_rng(0)
+    P = len(pairs)
+    pair_arr = np.array(pairs, np.int32)
+    data = {
+        "frames": rng.random((N_FRAMES, H, W, 3), np.float32).astype(np.float32),
+        "pair_slots": pair_arr,
+        "pair_ids": pair_arr,
+        "flows": (rng.standard_normal((P, 2, H, W, 2)) * 2).astype(np.float32),
+        "masks": (rng.random((P, 2, H, W)) > 0.2).astype(np.float32),
+        "intrinsics": np.tile(
+            np.array([W * 1.2, W * 1.2, W / 2, H / 2], np.float32),
+            (P, 2, 1)),
+        "extrinsics": np.tile(
+            np.concatenate([np.eye(3, dtype=np.float32),
+                            np.zeros((3, 1), np.float32)], 1),
+            (P, 2, 1, 1)),
+    }
+    return data, P
+
+
+def main():
+    from consistent_depth_tpu.models.mannequin_challenge import (
+        MannequinChallengeModel,
+    )
+    from consistent_depth_tpu.ops.losses import LossWeights
+    from consistent_depth_tpu.parallel import make_mesh
+    from consistent_depth_tpu.training import TrainingEngine, create_optimizer
+
+    devices = jax.devices()
+    n_chips = len(devices)
+    mesh = make_mesh() if n_chips > 1 else None
+    batch = BATCH_PER_CHIP * n_chips
+
+    data, P = make_workload()
+    steps_per_epoch = int(np.ceil(P / batch))
+
+    model = MannequinChallengeModel(checkpoint="", seed=0)
+    engine = TrainingEngine(
+        model, create_optimizer("Adam", 4e-4),
+        LossWeights(lambda_view_baseline=0.1, lambda_reprojection=1.0),
+        mesh=mesh)
+    state = engine.init_state()
+    dev_data = engine.put_data(data)
+
+    idx = np.arange(batch, dtype=np.int32) % P
+    valid = np.ones(batch, np.float32)
+
+    # compile + warmup
+    state, m = engine.train_step(state, dev_data, idx, valid)
+    jax.block_until_ready(m["loss"])
+    _, em = engine.eval_step(state, dev_data, idx, valid)
+    jax.block_until_ready(em["loss"])
+
+    # steady-state timing
+    n_timed = 20
+    t0 = time.perf_counter()
+    for i in range(n_timed):
+        state, m = engine.train_step(
+            state, dev_data, (idx + i) % P, valid)
+    jax.block_until_ready(m["loss"])
+    train_step_s = (time.perf_counter() - t0) / n_timed
+
+    t0 = time.perf_counter()
+    for i in range(4):
+        _, em = engine.eval_step(state, dev_data, (idx + i) % P, valid)
+    jax.block_until_ready(em["loss"])
+    eval_step_s = (time.perf_counter() - t0) / 4
+
+    total_train_steps = EPOCHS * steps_per_epoch
+    total_eval_steps = (EPOCHS + 1) * steps_per_epoch
+    projected = (total_train_steps * train_step_s
+                 + total_eval_steps * eval_step_s)
+
+    result = {
+        "metric": "ayush_finetune_20epoch_projected_wallclock",
+        "value": round(projected, 2),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SECONDS / projected, 2),
+        "detail": {
+            "n_chips": n_chips,
+            "pairs": P,
+            "batch": batch,
+            "steps_per_epoch": steps_per_epoch,
+            "train_step_ms": round(train_step_s * 1e3, 2),
+            "eval_step_ms": round(eval_step_s * 1e3, 2),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,16 @@
+"""CLI entry (reference: main.py).
+
+    python -m consistent_depth_tpu.cli.main --video_file v.mp4 --path d ...
+"""
+
+from ..pipeline.process import DatasetProcessor
+from .params import Video3dParamsParser
+
+
+def main(args=None):
+    params = Video3dParamsParser().parse(args)
+    return DatasetProcessor().process(params)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Depth-model abstraction (reference: monodepth/depth_model.py).
+
+A backbone adapter owns a flax module + its variables and exposes a
+*pure* ``apply`` suitable for jit:
+
+    apply(variables, images, train) -> (depth, mutated_batch_stats)
+
+with images (B, N, H, W, 3) BGR in [0, 1] and depth (B, N, H, W)
+(depth, not disparity). Stateful convenience wrappers mirror the
+reference API (forward / estimate_depth / save) for pipeline use; the
+training engine uses the pure function directly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FlaxVars = Dict[str, Any]
+
+
+class DepthModel:
+    # per-backbone requirements/defaults (reference adapters define these
+    # as class attributes consumed by params.py:110-119)
+    align: int = 1
+    learning_rate: float = 1e-4
+    lambda_view_baseline: float = 1.0
+
+    def __init__(self, variables: Optional[FlaxVars] = None,
+                 checkpoint: Optional[str] = None, seed: int = 0):
+        self.module = self._make_module()
+        if variables is None:
+            variables = self._init_variables(seed)
+            if checkpoint and os.path.isfile(checkpoint):
+                variables = self._load_checkpoint(checkpoint, variables)
+            elif checkpoint:
+                print(f"[{type(self).__name__}] checkpoint '{checkpoint}' "
+                      "not found — using random initialization")
+        self.variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    # -- to be provided by subclasses -------------------------------------
+    def _make_module(self):
+        raise NotImplementedError
+
+    def _init_variables(self, seed: int) -> FlaxVars:
+        raise NotImplementedError
+
+    def _load_checkpoint(self, path: str, template: FlaxVars) -> FlaxVars:
+        from . import torch_import
+
+        sd = torch_import.load_torch_checkpoint(path)
+        sd = {k: v for k, v in sd.items() if isinstance(v, np.ndarray)}
+        return torch_import.state_dict_to_variables(sd, template)
+
+    def estimate_depth_pure(
+        self, variables: FlaxVars, images: jnp.ndarray, train: bool
+    ) -> Tuple[jnp.ndarray, FlaxVars]:
+        """Pure: (B, N, H, W, 3) -> ((B, N, H, W) depth, mutated stats)."""
+        raise NotImplementedError
+
+    # -- shared API -------------------------------------------------------
+    def apply(
+        self,
+        variables: FlaxVars,
+        images: jnp.ndarray,
+        scales: Optional[jnp.ndarray] = None,
+        train: bool = True,
+    ) -> Tuple[jnp.ndarray, FlaxVars]:
+        """Pure forward incl. the optional per-frame scale transform
+        (reference: monodepth/depth_model.py:12-30).
+
+        Args:
+            images: (B, N, H, W, 3) BGR [0, 1]
+            scales: optional (B, N) or (B, N, 1) depth multipliers
+        """
+        depth, mutated = self.estimate_depth_pure(variables, images, train)
+        if scales is not None:
+            depth = depth * scales.reshape(scales.shape[0], scales.shape[1], 1, 1)
+        return depth, mutated
+
+    def forward(self, images, metadata=None, train: bool = True):
+        """Stateful convenience (updates self.variables' batch stats)."""
+        scales = None
+        if metadata is not None and "scales" in metadata:
+            scales = jnp.asarray(metadata["scales"])
+        depth, mutated = self.apply(
+            self.variables, jnp.asarray(images), scales=scales, train=train)
+        if train and mutated:
+            self.variables = {**self.variables, **mutated}
+        return depth
+
+    def parameters(self) -> FlaxVars:
+        return self.variables["params"]
+
+    def save(self, file_name: str) -> None:
+        """Write a torch-layout .pth checkpoint (reference writes raw
+        state_dicts: depth_fine_tuning.py:302-304)."""
+        from . import torch_import
+
+        torch_import.save_torch_checkpoint(
+            file_name, jax.device_get(self.variables))

@@ -1,0 +1,197 @@
+"""TPU-first neural-net building blocks with exact torch semantics.
+
+Everything is NHWC (XLA's preferred conv layout on TPU). Numerical
+contracts honored so torch-pretrained weights import losslessly:
+
+- ``TorchBatchNorm``: torch's running-stat update (unbiased variance in
+  the running update, biased in normalization, torch momentum 0.1).
+- ``upsample_bilinear_2x`` / ``resize_bilinear`` / ``resize_bicubic``:
+  torch ``interpolate`` parity for both align_corners settings, built as
+  *separable dense interpolation matmuls* — static interpolation
+  matrices contract over H then W on the MXU instead of gathers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm2d matching torch semantics bit-for-bit.
+
+    - training: normalize by biased batch variance; update running stats
+      with *unbiased* variance: ra = (1-m)*ra + m*batch (m=0.1).
+    - eval: normalize by running stats.
+    - ``affine=False`` -> no scale/bias parameters (used by the
+      MannequinChallenge inception blocks).
+    """
+
+    affine: bool = True
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        C = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((C,), jnp.float32))
+
+        if train:
+            x32 = x.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=(0, 1, 2))
+            var = jnp.mean(
+                jnp.square(x32 - mean[None, None, None, :]), axis=(0, 1, 2))
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            unbiased = var * (n / max(n - 1, 1))
+            if not self.is_initializing():
+                ra_mean.value = (
+                    (1 - self.momentum) * ra_mean.value + self.momentum * mean)
+                ra_var.value = (
+                    (1 - self.momentum) * ra_var.value
+                    + self.momentum * unbiased)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean.astype(x.dtype)) * jax.lax.rsqrt(
+            var.astype(x.dtype) + jnp.asarray(self.eps, x.dtype))
+        if self.affine:
+            scale = self.param("scale", nn.initializers.ones, (C,))
+            bias = self.param("bias", nn.initializers.zeros, (C,))
+            y = y * scale.astype(x.dtype) + bias.astype(x.dtype)
+        return y
+
+
+def conv(
+    features: int,
+    kernel: int | Tuple[int, int],
+    stride: int = 1,
+    padding: int = 0,
+    use_bias: bool = True,
+    name: Optional[str] = None,
+    dilation: int = 1,
+) -> nn.Conv:
+    """torch ``nn.Conv2d`` equivalent (explicit symmetric zero padding)."""
+    if isinstance(kernel, int):
+        kernel = (kernel, kernel)
+    return nn.Conv(
+        features=features,
+        kernel_size=kernel,
+        strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        kernel_dilation=(dilation, dilation),
+        use_bias=use_bias,
+        name=name,
+    )
+
+
+def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """torch ``nn.AvgPool2d(2)`` (even input dims)."""
+    B, H, W, C = x.shape
+    return x.reshape(B, H // 2, 2, W // 2, 2, C).mean(axis=(2, 4))
+
+
+def max_pool(x: jnp.ndarray, window: int, stride: int, padding: int) -> jnp.ndarray:
+    """torch ``nn.MaxPool2d`` with symmetric zero-entry -inf padding."""
+    return nn.max_pool(
+        x, (window, window), strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Resizes as separable interpolation matmuls
+# ---------------------------------------------------------------------------
+
+def _linear_weights(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """(out_size, in_size) dense 1-D bilinear interpolation matrix with
+    torch ``interpolate`` source-position semantics."""
+    A = np.zeros((out_size, in_size), np.float32)
+    for i in range(out_size):
+        if align_corners:
+            src = i * (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+        else:
+            src = (i + 0.5) * in_size / out_size - 0.5
+        src = min(max(src, 0.0), in_size - 1.0)
+        lo = int(np.floor(src))
+        hi = min(lo + 1, in_size - 1)
+        w = src - lo
+        A[i, lo] += 1.0 - w
+        A[i, hi] += w
+    return A
+
+
+def _cubic_kernel(t: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """torch/openCV cubic convolution kernel (A = -0.75)."""
+    t = np.abs(t)
+    out = np.zeros_like(t)
+    m1 = t <= 1
+    out[m1] = (a + 2) * t[m1] ** 3 - (a + 3) * t[m1] ** 2 + 1
+    m2 = (t > 1) & (t < 2)
+    out[m2] = a * t[m2] ** 3 - 5 * a * t[m2] ** 2 + 8 * a * t[m2] - 4 * a
+    return out
+
+
+def _cubic_weights(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """(out_size, in_size) dense 1-D bicubic matrix, torch parity
+    (border coefficients folded onto the clamped edge samples)."""
+    A = np.zeros((out_size, in_size), np.float32)
+    for i in range(out_size):
+        if align_corners:
+            src = i * (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+        else:
+            src = (i + 0.5) * in_size / out_size - 0.5
+        lo = int(np.floor(src))
+        taps = np.arange(lo - 1, lo + 3)
+        w = _cubic_kernel(src - taps)
+        for tap, wt in zip(taps, w):
+            A[i, min(max(tap, 0), in_size - 1)] += wt
+    return A
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_matrices(in_hw, out_hw, mode: str, align_corners: bool):
+    # cache host numpy only: jnp conversion must happen per-trace (a
+    # cached device array created inside jit would leak its tracer)
+    fn = _linear_weights if mode == "linear" else _cubic_weights
+    Ah = fn(in_hw[0], out_hw[0], align_corners)
+    Aw = fn(in_hw[1], out_hw[1], align_corners)
+    return Ah, Aw
+
+
+def _resize(x: jnp.ndarray, out_hw, mode: str, align_corners: bool):
+    Ah, Aw = _interp_matrices(x.shape[1:3], tuple(out_hw), mode, align_corners)
+    dt = x.dtype
+    Ah = jnp.asarray(Ah, dtype=dt)
+    Aw = jnp.asarray(Aw, dtype=dt)
+    y = jnp.einsum("oh,bhwc->bowc", Ah, x, precision="highest")
+    return jnp.einsum("ow,bhwc->bhoc", Aw, y, precision="highest")
+
+
+def resize_bilinear(x: jnp.ndarray, out_hw, align_corners: bool = False):
+    """torch ``F.interpolate(mode='bilinear')`` for NHWC via matmuls."""
+    return _resize(x, out_hw, "linear", align_corners)
+
+
+def resize_bicubic(x: jnp.ndarray, out_hw, align_corners: bool = False):
+    """torch ``F.interpolate(mode='bicubic')`` for NHWC via matmuls."""
+    return _resize(x, out_hw, "cubic", align_corners)
+
+
+def upsample_bilinear_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """torch ``nn.UpsamplingBilinear2d(scale_factor=2)``
+    (= align_corners=True)."""
+    H, W = x.shape[1:3]
+    return resize_bilinear(x, (2 * H, 2 * W), align_corners=True)
+
+
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """torch ``F.interpolate(scale_factor=2, mode='nearest')``."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)

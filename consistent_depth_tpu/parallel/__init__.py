@@ -1,0 +1,3 @@
+from .mesh import (  # noqa: F401
+    make_mesh, data_sharding, replicated_sharding, shard_pytree_batch,
+)

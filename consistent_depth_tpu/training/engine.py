@@ -1,0 +1,204 @@
+"""The jit-compiled training engine.
+
+Reference equivalent: the body of DepthFineTuner.fine_tune's loop
+(depth_fine_tuning.py:261-304). TPU-first redesign:
+
+- ONE compiled ``train_step(state, data, idx, valid)``: device-side
+  batch gather -> backbone forward (train-mode BN) -> geometric
+  consistency loss -> grads -> Adam update, with donated state;
+- the reference's host-side NaN-skip (depth_fine_tuning.py:278-280)
+  becomes a masked update: non-finite loss keeps params/opt state
+  (batch-stat updates still apply, matching torch where the forward
+  has already run before the check);
+- under a mesh, the batch axis is sharded over ``data`` and XLA
+  inserts the psum gradient all-reduce (replicated-out sharding).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.base import DepthModel
+from ..ops.losses import LossWeights, joint_loss
+from ..parallel.mesh import DATA_AXIS
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def _tree_where(pred, a, b):
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def gather_batch(data: Dict[str, jnp.ndarray], idx: jnp.ndarray):
+    """Device-side assembly of a pair batch from the resident dataset."""
+    slots = data["pair_slots"][idx]          # (B, 2)
+    batch = {
+        "images": data["frames"][slots],     # (B, 2, H, W, 3)
+        "flows": data["flows"][idx],
+        "masks": data["masks"][idx],
+        "intrinsics": data["intrinsics"][idx],
+        "extrinsics": data["extrinsics"][idx],
+        "pair_ids": data["pair_ids"][idx],
+    }
+    if "scales" in data:
+        batch["scales"] = data["scales"][idx]
+    return batch
+
+
+class TrainingEngine:
+    """Owns the compiled train/eval/infer steps for one backbone."""
+
+    def __init__(
+        self,
+        model: DepthModel,
+        optimizer: optax.GradientTransformation,
+        weights: LossWeights,
+        mesh: Optional[Mesh] = None,
+        params_init: Any = None,
+    ):
+        self.model = model
+        self.optimizer = optimizer
+        self.weights = weights
+        self.mesh = mesh
+        # clone of the pretrained params for ParameterLoss (reference:
+        # depth_fine_tuning.py:223-224); only materialized when needed
+        self.params_init = params_init
+        if weights.lambda_parameter > 0 and params_init is None:
+            self.params_init = jax.tree_util.tree_map(
+                jnp.copy, model.variables["params"])
+
+        self._train_step = self._compile(self._train_step_impl, donate=True)
+        self._eval_step = self._compile(self._eval_step_impl, donate=False)
+        self._infer = None
+
+    # ------------------------------------------------------------------
+    def init_state(self) -> TrainState:
+        # copy: train_step donates its input state, and the model's own
+        # variable buffers must survive repeated init_state calls
+        params = jax.tree_util.tree_map(
+            jnp.copy, self.model.variables["params"])
+        state = TrainState(
+            params=params,
+            batch_stats=jax.tree_util.tree_map(
+                jnp.copy, self.model.variables.get("batch_stats", {})),
+            opt_state=self.optimizer.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+        if self.mesh is not None:
+            state = jax.device_put(
+                state, NamedSharding(self.mesh, P()))
+        return state
+
+    def put_data(self, data: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+        """Transfer the dataset to HBM (replicated across the mesh)."""
+        put = (
+            functools.partial(
+                jax.device_put, device=NamedSharding(self.mesh, P()))
+            if self.mesh is not None else jnp.asarray
+        )
+        return {k: put(v) for k, v in data.items() if v is not None}
+
+    # ------------------------------------------------------------------
+    def _compile(self, fn: Callable, donate: bool):
+        if self.mesh is None:
+            return jax.jit(fn, donate_argnums=(0,) if donate else ())
+        repl = NamedSharding(self.mesh, P())
+        batch_s = NamedSharding(self.mesh, P(DATA_AXIS))
+        return jax.jit(
+            fn,
+            in_shardings=(repl, repl, batch_s, batch_s),
+            out_shardings=(repl, repl) if donate else repl,
+            donate_argnums=(0,) if donate else (),
+        )
+
+    def _forward(self, params, batch_stats, images, scales, train: bool):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        depth, mutated = self.model.apply(
+            variables, images, scales=scales, train=train)
+        new_stats = mutated.get("batch_stats", batch_stats) if train else batch_stats
+        return depth, new_stats
+
+    def _loss(self, params, batch_stats, batch, valid, train: bool):
+        depth, new_stats = self._forward(
+            params, batch_stats, batch["images"], batch.get("scales"), train)
+        loss, batch_losses = joint_loss(
+            depth,
+            batch["intrinsics"], batch["extrinsics"],
+            batch["flows"], batch["masks"],
+            self.weights,
+            params=params, params_init=self.params_init,
+            valid=valid,
+        )
+        return loss, (batch_losses, new_stats, depth)
+
+    def _train_step_impl(self, state: TrainState, data, idx, valid):
+        batch = gather_batch(data, idx)
+        (loss, (batch_losses, new_stats, _)), grads = jax.value_and_grad(
+            self._loss, has_aux=True
+        )(state.params, state.batch_stats, batch, valid, True)
+
+        updates, new_opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        ok = jnp.isfinite(loss)
+        new_state = TrainState(
+            params=_tree_where(ok, new_params, state.params),
+            batch_stats=new_stats,
+            opt_state=_tree_where(ok, new_opt_state, state.opt_state),
+            step=state.step + 1,
+        )
+        metrics = {"loss": loss, "skipped_nan": ~ok, **batch_losses}
+        return new_state, metrics
+
+    def _eval_step_impl(self, state: TrainState, data, idx, valid):
+        """Validation pass: train-mode BN with running-stat updates but
+        no gradient step (matches torch no_grad in train() mode —
+        reference depth_fine_tuning.py:246-257, 312-341)."""
+        batch = gather_batch(data, idx)
+        loss, (batch_losses, new_stats, depth) = self._loss(
+            state.params, state.batch_stats, batch, valid, True)
+        new_state = state._replace(batch_stats=new_stats)
+        return new_state, {
+            "loss": loss, "depth": depth, "pair_ids": batch["pair_ids"],
+            **batch_losses,
+        }
+
+    # ------------------------------------------------------------------
+    def train_step(self, state, data, idx, valid):
+        return self._train_step(state, data, jnp.asarray(idx), jnp.asarray(valid))
+
+    def eval_step(self, state, data, idx, valid):
+        return self._eval_step(state, data, jnp.asarray(idx), jnp.asarray(valid))
+
+    def infer(self, state: TrainState, images: jnp.ndarray,
+              scales: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Eval-mode inference (save_depth path; BN uses running stats
+        — reference depth_fine_tuning.py:182-196)."""
+        if self._infer is None:
+            def _infer_impl(params, batch_stats, images, scales):
+                depth, _ = self._forward(
+                    params, batch_stats, images, scales, train=False)
+                return depth
+            self._infer = jax.jit(_infer_impl)
+        return self._infer(state.params, state.batch_stats, images, scales)
+
+    def variables_of(self, state: TrainState) -> Dict[str, Any]:
+        out = {"params": state.params}
+        if state.batch_stats:
+            out["batch_stats"] = state.batch_stats
+        return out

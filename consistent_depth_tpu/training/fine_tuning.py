@@ -1,0 +1,348 @@
+"""Test-time fine-tuning driver (reference: depth_fine_tuning.py).
+
+Same artifacts and directory contract as the reference:
+
+    {range_dir}/{tag}/checkpoints/{epoch:04d}.pth   torch-layout weights
+    {range_dir}/{tag}/eval/loss_e{E}_iter{I}.json   per-pair losses
+    {range_dir}/{tag}/eval/depth_{idx}_e..{I}.raw/.png
+    {range_dir}/{tag}/depth/frame_{:06d}.raw (+ .png) via save_depth
+    {range_dir}/{tag}/tensorboard/                  event files
+
+The hot loop is the jit-compiled
+:class:`consistent_depth_tpu.training.engine.TrainingEngine`; this
+module is the host-side orchestration only.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from os.path import join as pjoin
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+
+from ..data import PairBatchIterator, VideoFrameDataset, VideoPairDataset
+from ..models.registry import get_depth_model
+from ..ops.losses import LossWeights
+from ..parallel.mesh import make_mesh
+from ..io import image_io
+from ..utils import visualization
+from . import optimizer as optimizer_registry
+from .engine import TrainingEngine
+from .summaries import SummaryWriter, make_image_grid
+
+
+class LossParams:
+    """Loss flags (reference: loss/loss_params.py)."""
+
+    @staticmethod
+    def add_arguments(parser):
+        parser.add_argument("--lambda_view_baseline", type=float, default=-1,
+                            help="Disparity-difference weight; <0 resolves"
+                                 " to the model default.")
+        parser.add_argument("--lambda_reprojection", type=float, default=1.0)
+        parser.add_argument("--lambda_parameter", type=float, default=0)
+        return parser
+
+    @staticmethod
+    def make_str(opt) -> str:
+        return (f"B{opt.lambda_view_baseline}"
+                f"_R{opt.lambda_reprojection}"
+                f"_PL1-{opt.lambda_parameter}")
+
+
+class DepthFineTuningParams:
+    """Fine-tuning flags (reference: depth_fine_tuning.py:28-63)."""
+
+    @staticmethod
+    def add_arguments(parser):
+        parser = LossParams.add_arguments(parser)
+        parser.add_argument("--optimizer", default="Adam",
+                            choices=optimizer_registry.OPTIMIZER_NAMES)
+        parser.add_argument("--val_epoch_freq", type=int, default=1)
+        parser.add_argument("--learning_rate", type=float, default=0,
+                            help="<=0 resolves to the model default")
+        parser.add_argument("--batch_size", type=int, default=4)
+        parser.add_argument("--num_epochs", type=int, default=20)
+        parser.add_argument("--log_dir")
+        parser.add_argument("--display_freq", type=int, default=100)
+        parser.add_argument("--print_freq", type=int, default=1)
+        parser.add_argument("--save_epoch_freq", type=int, default=1)
+        return parser
+
+
+def make_tag(params) -> str:
+    return (LossParams.make_str(params)
+            + f"_LR{params.learning_rate}"
+            + f"_BS{params.batch_size}"
+            + f"_O{params.optimizer.lower()}")
+
+
+def log_loss_stats(writer, name_prefix: str,
+                   loss_meta: Dict[str, np.ndarray], n: int,
+                   log_histogram: bool = False):
+    for sub_loss_name, loss_value in loss_meta.items():
+        full = f"{name_prefix}/{sub_loss_name}"
+        v = np.asarray(loss_value)
+        writer.add_scalar(full + "/max", v.max(), n)
+        writer.add_scalar(full + "/min", v.min(), n)
+        writer.add_scalar(full + "/mean", v.mean(), n)
+        if log_histogram:
+            writer.add_histogram(full, v, n)
+
+
+class DepthFineTuner:
+    def __init__(self, range_dir: str, frames: List[int], params,
+                 mesh=None):
+        self.frames = frames
+        self.params = params
+        self.base_dir = params.path
+        self.range_dir = range_dir
+        self.out_dir = pjoin(range_dir, make_tag(params))
+        os.makedirs(self.out_dir, exist_ok=True)
+        print(f"Fine-tuning directory: '{self.out_dir}'")
+        self.checkpoints_dir = pjoin(self.out_dir, "checkpoints")
+        os.makedirs(self.checkpoints_dir, exist_ok=True)
+
+        model_cls = get_depth_model(params.model_type)
+        checkpoint = getattr(params, "model_checkpoint", None)
+        self.model = model_cls(checkpoint=checkpoint)
+
+        # TPU analog of GPU-count batch scaling
+        # (reference: depth_fine_tuning.py:155-159)
+        self.mesh = mesh
+        if mesh is None and getattr(params, "use_mesh", True):
+            n = len(jax.devices())
+            if n > 1:
+                self.mesh = make_mesh()
+        if self.mesh is not None:
+            n_dev = self.mesh.devices.size
+            if n_dev > 1:
+                print(f"Using {n_dev} devices.")
+                self.params.batch_size *= n_dev
+                print(f"Adjusting batch size to {self.params.batch_size}.")
+
+        self.weights = LossWeights(
+            lambda_view_baseline=params.lambda_view_baseline,
+            lambda_reprojection=params.lambda_reprojection,
+            lambda_parameter=params.lambda_parameter,
+        )
+        tx = optimizer_registry.create(
+            params.optimizer, params.learning_rate, betas=(0.9, 0.999))
+        self.engine = TrainingEngine(
+            self.model, tx, self.weights, mesh=self.mesh)
+        self.state = self.engine.init_state()
+        self.vis_depth_scale: Optional[float] = None
+
+    # ------------------------------------------------------------------
+    def save_depth(self, dir: str = None, frames=None,  # noqa: A002
+                   batch_size: int = 4):
+        """Run eval-mode inference on every frame; write inverse depth
+        .raw + global-range visualizations
+        (reference: depth_fine_tuning.py:164-199)."""
+        if dir is None:
+            dir = self.out_dir  # noqa: A001
+        if frames is None:
+            frames = self.frames
+
+        color_fmt = pjoin(self.base_dir, "color_down", "frame_{:06d}.raw")
+        depth_dir = pjoin(dir, "depth")
+        depth_fmt = pjoin(depth_dir, "frame_{:06d}")
+        dataset = VideoFrameDataset(color_fmt, frames)
+        os.makedirs(depth_dir, exist_ok=True)
+
+        for start in range(0, len(dataset), batch_size):
+            indices = list(range(start, min(start + batch_size, len(dataset))))
+            images, ids = dataset.load_batch(indices)
+            pad = batch_size - len(indices)
+            if pad:
+                images = np.concatenate(
+                    [images, np.repeat(images[-1:], pad, axis=0)])
+            depth = self.engine.infer(
+                self.state, np.asarray(images)[:, None])  # (B, 1, H, W)
+            depth = np.asarray(jax.device_get(depth))[:, 0]
+            for d, frame_id in zip(depth, ids):
+                image_io.save_raw_float32_image(
+                    depth_fmt.format(frame_id) + ".raw", 1.0 / d)
+
+        visualization.visualize_depth_dir(depth_dir, depth_dir, force=True)
+
+    # ------------------------------------------------------------------
+    def fine_tune(self, writer=None):
+        meta_file = pjoin(self.range_dir, "metadata_scaled.npz")
+        dataset = VideoPairDataset(self.base_dir, meta_file)
+        data = dataset.load()
+        dev_data = self.engine.put_data(data.__dict__)
+        dev_data.pop("frame_ids", None)
+        num_pairs = data.num_pairs
+        B = self.params.batch_size
+
+        if writer is None:
+            log_dir = self.params.log_dir or pjoin(self.out_dir, "tensorboard")
+            os.makedirs(log_dir, exist_ok=True)
+            writer = SummaryWriter(log_dir=log_dir)
+
+        eval_dir = pjoin(self.out_dir, "eval")
+        os.makedirs(eval_dir, exist_ok=True)
+
+        def suffix(epoch, niters):
+            return "_e{:04d}_iter{:06d}".format(epoch, niters)
+
+        def validate(epoch, niters):
+            loss_meta = self.eval_and_save(
+                dev_data, data, suffix(epoch, niters))
+            if writer is not None:
+                log_loss_stats(
+                    writer, "validation", loss_meta, epoch, log_histogram=True)
+            print(f"Done Validation for epoch {epoch} ({niters} iterations)")
+
+        self.vis_depth_scale = None
+        validate(0, 0)
+
+        it = PairBatchIterator(
+            num_pairs, B, shuffle=True, seed=getattr(self.params, "seed", 0))
+        total_iters = 0
+        for epoch in range(self.params.num_epochs):
+            epoch_start_time = time.perf_counter()
+            for idx, valid in it.epoch(epoch):
+                self.state, metrics = self.engine.train_step(
+                    self.state, dev_data, idx, valid)
+                loss = float(metrics["loss"])
+                pairs = data.pair_ids[idx[valid > 0]].tolist()
+                print(f"Epoch = {epoch}, pairs = {pairs}, loss = {loss}")
+                if metrics["skipped_nan"]:
+                    print("Loss is NaN. Skipping.")
+
+                total_iters += int(valid.sum())
+                if writer is not None and total_iters % self.params.print_freq == 0:
+                    writer.add_scalar("Train/loss", loss, total_iters)
+                    log_loss_stats(
+                        writer, "Train/loss",
+                        {k: np.asarray(metrics[k])
+                         for k in ("reprojection", "disparity")
+                         if k in metrics},
+                        total_iters)
+                if (writer is not None
+                        and total_iters % self.params.display_freq == 0):
+                    self._write_summary(writer, dev_data, idx, total_iters)
+
+            epoch_duration = time.perf_counter() - epoch_start_time
+            print(f"Epoch {epoch} took {epoch_duration:.2f}s.")
+
+            if (epoch + 1) % self.params.val_epoch_freq == 0:
+                validate(epoch + 1, total_iters)
+            if (epoch + 1) % self.params.save_epoch_freq == 0:
+                self.save_checkpoint(
+                    pjoin(self.checkpoints_dir, f"{epoch + 1:04d}.pth"))
+
+        if self.params.num_epochs % self.params.val_epoch_freq != 0:
+            validate(self.params.num_epochs, total_iters)
+        print("Finished Training")
+
+    def _write_summary(self, writer, dev_data, idx, n_iter):
+        from .engine import gather_batch
+
+        batch = jax.device_get(gather_batch(dev_data, np.asarray(idx)))
+        imgs = batch["images"].reshape((-1,) + batch["images"].shape[2:])
+        writer.add_image(
+            "Train/image", make_image_grid(imgs, normalize=True), n_iter)
+        writer.add_image(
+            "Train/mask",
+            make_image_grid(
+                batch["masks"].reshape((-1,) + batch["masks"].shape[2:] + (1,))),
+            n_iter)
+
+    # ------------------------------------------------------------------
+    def eval_and_save(self, dev_data, data, suf: str) -> Dict[str, np.ndarray]:
+        """Full-dataset eval pass: per-pair loss JSON + first-seen depth
+        dumps (reference: depth_fine_tuning.py:312-406)."""
+        N = data.num_pairs
+        B = self.params.batch_size
+        loss_dict: Dict[str, Dict[str, float]] = {}
+        saved_frames = set()
+        max_frame_index = 0
+        all_pairs: List[List[int]] = []
+        eval_dir = pjoin(self.out_dir, "eval")
+
+        order = np.arange(N, dtype=np.int32)
+        for start in range(0, N, B):
+            idx = order[start:start + B]
+            valid = np.ones(len(idx), np.float32)
+            if len(idx) < B:
+                pad = B - len(idx)
+                idx = np.concatenate([idx, np.zeros(pad, np.int32)])
+                valid = np.concatenate([valid, np.zeros(pad, np.float32)])
+            self.state, metrics = self.engine.eval_step(
+                self.state, dev_data, idx, valid)
+            metrics = jax.device_get(metrics)
+
+            n_valid = int(valid.sum())
+            batch_indices = np.asarray(metrics["pair_ids"])[:n_valid].tolist()
+            max_frame_index = max(
+                max_frame_index, max(max(p) for p in batch_indices))
+            all_pairs += batch_indices
+
+            for name in ("reprojection", "disparity"):
+                losses = np.asarray(metrics[name])[:n_valid]
+                loss_dict.setdefault(name, {})
+                for pair, value in zip(batch_indices, losses):
+                    loss_dict[name][str(list(pair))] = float(value)
+
+            inv_depths_batch = 1.0 / np.asarray(metrics["depth"])[:n_valid]
+            if self.vis_depth_scale is None:
+                self.vis_depth_scale = float(inv_depths_batch.max())
+            for inv_depths, pair in zip(inv_depths_batch, batch_indices):
+                for inv_depth, index in zip(inv_depths, pair):
+                    if index in saved_frames:
+                        continue
+                    saved_frames.add(index)
+                    fn_pre = pjoin(eval_dir, f"depth_{index:06d}{suf}")
+                    image_io.save_raw_float32_image(fn_pre + ".raw", inv_depth)
+                    import cv2
+
+                    vis = visualization.visualize_depth(
+                        inv_depth, depth_min=0, depth_max=self.vis_depth_scale)
+                    cv2.imwrite(fn_pre + ".png", vis)
+
+        loss_meta = {
+            name: np.array(list(values.values()))
+            for name, values in loss_dict.items()
+        }
+        loss_dict["mean"] = {k: float(v.mean()) for k, v in loss_meta.items()}
+        with open(pjoin(eval_dir, f"loss{suf}.json"), "w") as f:
+            json.dump(loss_dict, f)
+
+        self._print_eval_table(loss_dict, all_pairs, max_frame_index)
+        return loss_meta
+
+    @staticmethod
+    def _print_eval_table(loss_dict, all_pairs, max_frame_index):
+        index_width = int(math.ceil(math.log10(max(max_frame_index, 2))))
+        loss_names = [k for k in loss_dict if k != "mean"]
+        fmt = {}
+        for name in loss_names:
+            max_value = max(loss_dict[name].values())
+            width = math.ceil(math.log10(max(max_value, 1.1)))
+            fmt[name] = f"{width + 7}.6f"
+        for pair in sorted(all_pairs):
+            line = f"({pair[0]:{index_width}d}, {pair[1]:{index_width}d}): "
+            line += ", ".join(
+                f"{name}: {loss_dict[name][str(list(pair))]:{fmt[name]}}"
+                for name in loss_names)
+            print(line)
+        print("Mean: " + " " * (2 * index_width) + ", ".join(
+            f"{name}: {loss_dict['mean'][name]:{fmt[name]}}"
+            for name in loss_names))
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, file_name: str):
+        from ..models import torch_import
+
+        torch_import.save_torch_checkpoint(
+            file_name,
+            jax.device_get(self.engine.variables_of(self.state)))

@@ -7,12 +7,20 @@ backend): the env vars below must be set before jax is first imported.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The environment's sitecustomize boot hook force-selects the "axon"
+# TPU platform via an explicit config update, which overrides
+# JAX_PLATFORMS. Override it back: tests must run on the virtual
+# 8-device CPU mesh, never the tunneled real chip.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:

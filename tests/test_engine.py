@@ -1,0 +1,202 @@
+"""Training-engine tests: synthetic-scene loss sanity, NaN-skip,
+training progress, and multi-chip sharding on the virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import synthetic
+from consistent_depth_tpu.data import PairBatchIterator
+from consistent_depth_tpu.models.mannequin_challenge import MannequinChallengeModel
+from consistent_depth_tpu.ops.losses import LossWeights, consistency_loss
+from consistent_depth_tpu.parallel import make_mesh
+from consistent_depth_tpu.training import TrainingEngine, create_optimizer
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return synthetic.make_scene(num_frames=6, H=32, W=48)
+
+
+@pytest.fixture(scope="module")
+def data(scene):
+    return synthetic.build_pair_arrays(scene, synthetic.make_pairs(6))
+
+
+def test_exact_depth_has_zero_loss(scene, data):
+    """With ground-truth depths and exact flows, both loss terms ~ 0."""
+    P = data["pair_ids"].shape[0]
+    depths = jnp.asarray(scene["depths"][data["pair_ids"]])
+    loss, batch = consistency_loss(
+        depths,
+        jnp.asarray(data["intrinsics"]), jnp.asarray(data["extrinsics"]),
+        jnp.asarray(data["flows"]), jnp.asarray(data["masks"]),
+        LossWeights(),
+    )
+    assert float(loss) < 1e-3, float(loss)
+    # and a perturbed depth has clearly larger loss
+    loss_bad, _ = consistency_loss(
+        depths * 1.2,
+        jnp.asarray(data["intrinsics"]), jnp.asarray(data["extrinsics"]),
+        jnp.asarray(data["flows"]), jnp.asarray(data["masks"]),
+        LossWeights(),
+    )
+    assert float(loss_bad) > 10 * max(float(loss), 1e-6)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    model = MannequinChallengeModel(checkpoint="", seed=0)
+    return TrainingEngine(
+        model, create_optimizer("Adam", 4e-4), LossWeights())
+
+
+def test_train_step_runs_and_updates(engine, data):
+    state = engine.init_state()
+    dev_data = engine.put_data(data)
+    it = PairBatchIterator(data["pair_ids"].shape[0], batch_size=4, seed=0)
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    losses = []
+    for idx, valid in it.epoch(0):
+        state, metrics = engine.train_step(state, dev_data, idx, valid)
+        losses.append(float(metrics["loss"]))
+        assert not bool(metrics["skipped_nan"])
+    assert int(state.step) == it.steps_per_epoch()
+    p1 = jax.tree_util.tree_leaves(state.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    assert np.isfinite(losses).all()
+
+
+def test_training_reduces_loss(engine, data):
+    """A few epochs of fine-tuning on the synthetic scene reduce the
+    consistency loss (the core promise of test-time optimization)."""
+    state = engine.init_state()
+    dev_data = engine.put_data(data)
+    P = data["pair_ids"].shape[0]
+    it = PairBatchIterator(P, batch_size=4, seed=0)
+
+    def eval_loss(state):
+        idx = np.arange(P, dtype=np.int32)
+        pad = (-P) % 4
+        idx = np.concatenate([idx, np.zeros(pad, np.int32)])
+        valid = np.concatenate([np.ones(P), np.zeros(pad)]).astype(np.float32)
+        total, count = 0.0, 0
+        for b in range(len(idx) // 4):
+            s, m = engine.eval_step(
+                state, dev_data, idx[b * 4:(b + 1) * 4], valid[b * 4:(b + 1) * 4])
+            total += float(m["loss"]) * float(valid[b * 4:(b + 1) * 4].sum())
+            count += float(valid[b * 4:(b + 1) * 4].sum())
+        return total / count
+
+    before = eval_loss(state)
+    for epoch in range(3):
+        for idx, valid in it.epoch(epoch):
+            state, _ = engine.train_step(state, dev_data, idx, valid)
+    after = eval_loss(state)
+    assert after < before, (before, after)
+
+
+def test_nan_skip(engine, data):
+    """A batch that produces a non-finite loss must leave params and
+    optimizer state untouched (reference: depth_fine_tuning.py:278-280)."""
+    state = engine.init_state()
+    dev_data = dict(engine.put_data(data))
+    bad = np.asarray(dev_data["flows"]).copy()
+    bad[0] = np.nan
+    dev_data["flows"] = jnp.asarray(bad)
+    p0 = jax.device_get(state.params)
+    o0 = jax.device_get(state.opt_state)
+    state2, metrics = engine.train_step(
+        state, dev_data, np.array([0, 0, 0, 0], np.int32),
+        np.ones(4, np.float32))
+    assert bool(metrics["skipped_nan"])
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(jax.device_get(state2.params))):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(jax.tree_util.tree_leaves(o0),
+                    jax.tree_util.tree_leaves(jax.device_get(state2.opt_state))):
+        np.testing.assert_array_equal(a, b)
+    assert int(state2.step) == 1  # step counter still advances
+
+
+def _param_vec(tree):
+    return np.concatenate(
+        [np.ravel(x) for x in jax.tree_util.tree_leaves(tree)])
+
+
+def test_multichip_mesh_train_step(data):
+    """Full train step sharded over the virtual 8-device CPU mesh must
+    match the single-device step.
+
+    Loss parity is tight. Parameter parity after the step is loose:
+    sharding the batch reassociates the BN batch-stat reductions
+    (psum), and train-mode BN divides by the batch sigma at each of ~60
+    layers, which with random weights amplifies 1-ulp differences into
+    percent-level gradient differences. The well-conditioned gradient
+    parity check (eval-mode BN) lives in
+    test_multichip_grads_match_eval_mode."""
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    idx = np.arange(8, dtype=np.int32) % 7
+    valid = np.ones(8, np.float32)
+
+    def run(mesh):
+        model = MannequinChallengeModel(checkpoint="", seed=0)
+        engine = TrainingEngine(
+            model, create_optimizer("SGD", 1.0), LossWeights(), mesh=mesh)
+        state = engine.init_state()
+        dev_data = engine.put_data(data)
+        state, metrics = engine.train_step(state, dev_data, idx, valid)
+        return jax.device_get(state.params), float(metrics["loss"])
+
+    params8, loss8 = run(make_mesh())
+    params1, loss1 = run(None)
+    assert np.isfinite(loss8)
+    np.testing.assert_allclose(loss8, loss1, rtol=1e-5)
+    va, vb = _param_vec(params8), _param_vec(params1)
+    rel = np.linalg.norm(va - vb) / np.linalg.norm(va)
+    assert rel < 5e-2, rel
+
+
+def test_multichip_grads_match_eval_mode(data):
+    """Sharded-vs-single gradient parity with eval-mode BN (running
+    stats fixed): the psum all-reduce path must be numerically faithful."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from consistent_depth_tpu.training.engine import gather_batch
+    import jax.numpy as jnp
+
+    idx = np.arange(8, dtype=np.int32) % 7
+    valid = np.ones(8, np.float32)
+
+    def grads(mesh):
+        model = MannequinChallengeModel(checkpoint="", seed=0)
+        engine = TrainingEngine(
+            model, create_optimizer("SGD", 1.0), LossWeights(), mesh=mesh)
+        state = engine.init_state()
+        dev = engine.put_data(data)
+
+        def loss_fn(params, idx, valid):
+            batch = gather_batch(dev, idx)
+            loss, _ = engine._loss(
+                params, state.batch_stats, batch, valid, False)
+            return loss
+
+        if mesh is None:
+            g = jax.jit(jax.grad(loss_fn))(
+                state.params, jnp.asarray(idx), jnp.asarray(valid))
+        else:
+            repl = NamedSharding(mesh, P())
+            sh = NamedSharding(mesh, P("data"))
+            g = jax.jit(
+                jax.grad(loss_fn), in_shardings=(repl, sh, sh),
+                out_shardings=repl,
+            )(jax.device_put(state.params, repl),
+              jax.device_put(jnp.asarray(idx), sh),
+              jax.device_put(jnp.asarray(valid), sh))
+        return jax.device_get(g)
+
+    g8, g1 = grads(make_mesh()), grads(None)
+    va, vb = _param_vec(g8), _param_vec(g1)
+    rel = np.linalg.norm(va - vb) / (np.linalg.norm(vb) + 1e-12)
+    assert rel < 1e-5, rel
