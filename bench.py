@@ -18,6 +18,7 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -25,6 +26,7 @@ import numpy as np
 import jax
 
 BASELINE_SECONDS = 37 * 60.0  # reference end-to-end demo (README.md:43)
+PRECISION = os.environ.get("BENCH_PRECISION", "bf16")  # bf16 | f32
 
 N_FRAMES = 244
 H, W = 224, 384
@@ -84,7 +86,7 @@ def main():
     engine = TrainingEngine(
         model, create_optimizer("Adam", 4e-4),
         LossWeights(lambda_view_baseline=0.1, lambda_reprojection=1.0),
-        mesh=mesh)
+        mesh=mesh, precision=PRECISION)
     state = engine.init_state()
     dev_data = engine.put_data(data)
 
@@ -124,6 +126,7 @@ def main():
         "vs_baseline": round(BASELINE_SECONDS / projected, 2),
         "detail": {
             "n_chips": n_chips,
+            "precision": PRECISION,
             "pairs": P,
             "batch": batch,
             "steps_per_epoch": steps_per_epoch,

@@ -77,7 +77,13 @@ class DepthModel:
             images: (B, N, H, W, 3) BGR [0, 1]
             scales: optional (B, N) or (B, N, 1) depth multipliers
         """
+        from .layers import compute_dtype
+
+        dtype = compute_dtype()
+        if dtype is not None:
+            images = images.astype(dtype)
         depth, mutated = self.estimate_depth_pure(variables, images, train)
+        depth = depth.astype(jnp.float32)
         if scales is not None:
             depth = depth * scales.reshape(scales.shape[0], scales.shape[1], 1, 1)
         return depth, mutated

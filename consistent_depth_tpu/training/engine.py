@@ -67,7 +67,14 @@ class TrainingEngine:
         weights: LossWeights,
         mesh: Optional[Mesh] = None,
         params_init: Any = None,
+        precision: str = "f32",
     ):
+        if precision == "bf16":
+            # backbone conv compute in bfloat16 (params stay f32, BN
+            # statistics and the geometric loss stay f32)
+            from ..models import layers
+
+            layers.set_compute_dtype(jnp.bfloat16)
         self.model = model
         self.optimizer = optimizer
         self.weights = weights
@@ -155,7 +162,17 @@ class TrainingEngine:
             grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
-        ok = jnp.isfinite(loss)
+        # skip on non-finite loss (reference: depth_fine_tuning.py:278-280)
+        # AND on non-finite gradients — a finite loss can still carry
+        # 0*inf gradients through the 1/z backward at degenerate depths,
+        # which would silently poison the params
+        grads_ok = jax.tree_util.tree_reduce(
+            jnp.logical_and,
+            jax.tree_util.tree_map(
+                lambda g: jnp.all(jnp.isfinite(g)), grads),
+            jnp.asarray(True),
+        )
+        ok = jnp.isfinite(loss) & grads_ok
         new_state = TrainState(
             params=_tree_where(ok, new_params, state.params),
             batch_stats=new_stats,

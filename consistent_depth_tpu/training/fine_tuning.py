@@ -73,6 +73,16 @@ class DepthFineTuningParams:
         parser.add_argument("--display_freq", type=int, default=100)
         parser.add_argument("--print_freq", type=int, default=1)
         parser.add_argument("--save_epoch_freq", type=int, default=1)
+        # beyond-reference: full-state resume + profiling
+        parser.add_argument(
+            "--resume", action="store_true",
+            help="Resume fine-tuning from the latest full-state "
+                 "checkpoint (params + optimizer state + epoch); the "
+                 "reference always restarts from epoch 0.")
+        parser.add_argument(
+            "--profile_dir", default=None,
+            help="If set, capture a jax.profiler trace of one epoch "
+                 "into this directory.")
         return parser
 
 
@@ -201,13 +211,28 @@ class DepthFineTuner:
                     writer, "validation", loss_meta, epoch, log_histogram=True)
             print(f"Done Validation for epoch {epoch} ({niters} iterations)")
 
+        start_epoch = 0
+        if getattr(self.params, "resume", False):
+            from . import checkpoints as ckpt
+
+            latest = ckpt.latest_epoch_checkpoint(self.checkpoints_dir)
+            if latest is not None:
+                restored = ckpt.restore_full_state(latest[0], self.state)
+                if restored is not None:
+                    self.state, start_epoch = restored
+                    print(f"Resumed from {latest[0]} (epoch {start_epoch}).")
+
         self.vis_depth_scale = None
-        validate(0, 0)
+        if start_epoch == 0:
+            validate(0, 0)
 
         it = PairBatchIterator(
             num_pairs, B, shuffle=True, seed=getattr(self.params, "seed", 0))
-        total_iters = 0
-        for epoch in range(self.params.num_epochs):
+        total_iters = start_epoch * it.steps_per_epoch() * B
+        profile_dir = getattr(self.params, "profile_dir", None)
+        for epoch in range(start_epoch, self.params.num_epochs):
+            if profile_dir and epoch == start_epoch:
+                jax.profiler.start_trace(profile_dir)
             epoch_start_time = time.perf_counter()
             for idx, valid in it.epoch(epoch):
                 self.state, metrics = self.engine.train_step(
@@ -233,12 +258,20 @@ class DepthFineTuner:
 
             epoch_duration = time.perf_counter() - epoch_start_time
             print(f"Epoch {epoch} took {epoch_duration:.2f}s.")
+            if profile_dir and epoch == start_epoch:
+                jax.profiler.stop_trace()
 
             if (epoch + 1) % self.params.val_epoch_freq == 0:
                 validate(epoch + 1, total_iters)
             if (epoch + 1) % self.params.save_epoch_freq == 0:
                 self.save_checkpoint(
                     pjoin(self.checkpoints_dir, f"{epoch + 1:04d}.pth"))
+                if getattr(self.params, "resume", False):
+                    from . import checkpoints as ckpt
+
+                    ckpt.save_full_state(
+                        pjoin(self.checkpoints_dir, f"full_{epoch + 1:04d}"),
+                        self.state, epoch + 1)
 
         if self.params.num_epochs % self.params.val_epoch_freq != 0:
             validate(self.params.num_epochs, total_iters)
