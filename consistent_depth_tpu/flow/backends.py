@@ -131,6 +131,15 @@ class PrecomputedFlowBackend(FlowBackend):
 
 def create_flow_backend(checkpoint: str = "FlowNet2") -> FlowBackend:
     """checkpoint names follow the reference CLI ('FlowNet2',
-    'FlowNet2-KITTI'); both resolve to the precomputed backend unless
-    a native backend is registered."""
+    'FlowNet2-KITTI'). If the corresponding torch checkpoint exists in
+    checkpoints/, the native JAX FlowNet cascade runs it (homography
+    pre-alignment for the non-KITTI model, reference flow.py:97-98);
+    otherwise flow is a precomputed input."""
+    name = checkpoint.lower()
+    ckpt_path = os.path.join("checkpoints", f"{name}.pth")
+    if os.path.isfile(ckpt_path):
+        from .runner import JaxFlowBackend
+
+        return JaxFlowBackend(
+            checkpoint=ckpt_path, homography="kitti" not in name)
     return PrecomputedFlowBackend()

@@ -1,0 +1,217 @@
+"""FlowNet-family optical-flow networks in Flax (NHWC).
+
+TPU-native re-implementation of the architectures behind the
+reference's flow stage (the flownet2 submodule's FlowNetS / FlowNetC
+and the FlowNet2 C->S->S stack; reference usage:
+optical_flow_flownet2_homography.py:242-266). The custom CUDA ops map
+to first-party TPU code:
+
+    correlation_package  -> consistent_depth_tpu.flow.correlation
+    resample2d_package   -> flow_warp (bilinear, zeros padding)
+    channelnorm_package  -> channel_norm (trivial jnp)
+
+Module names mirror the torch layout (conv1.0.weight etc. — each conv
+is Sequential(Conv2d, LeakyReLU)) so pretrained flownet2 checkpoints
+import through the mechanical state_dict importer when available.
+Weights are external inputs in this environment; the precomputed-flow
+backend remains the parity default.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.resample import bilinear_sample_pixels
+from .correlation import correlation
+
+
+def _leaky(x):
+    return nn.leaky_relu(x, negative_slope=0.1)
+
+
+def conv_block(x, features, kernel, stride, name):
+    """conv(batchNorm=False, ...) = Conv2d + LeakyReLU(0.1). Defined
+    inline (torch key "conv1.0.weight" groups to the flat flax name
+    "conv1_0")."""
+    pad = (kernel - 1) // 2
+    y = nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                padding=[(pad, pad), (pad, pad)], name=f"{name}_0")(x)
+    return _leaky(y)
+
+
+def deconv_block(x, features, name):
+    """deconv = ConvTranspose2d(4, 2, 1) + LeakyReLU(0.1). torch's
+    (k=4, s=2, p=1) corresponds to flax padding (2, 2) per dim
+    (out = 2*in); transpose_kernel=True matches torch's (I, O, kh, kw)
+    layout through the generic (2, 3, 1, 0) import transpose."""
+    y = nn.ConvTranspose(
+        features, (4, 4), strides=(2, 2),
+        padding=[(2, 2), (2, 2)], transpose_kernel=True,
+        name=f"{name}_0")(x)
+    return _leaky(y)
+
+
+def predict_flow(x, name: str):
+    return nn.Conv(2, (3, 3), padding=[(1, 1), (1, 1)], name=name)(x)
+
+
+def upsample_flow(x, name: str):
+    return nn.ConvTranspose(
+        2, (4, 4), strides=(2, 2), padding=[(2, 2), (2, 2)],
+        transpose_kernel=True, use_bias=False, name=name)(x)
+
+
+def flow_warp(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Resample2d: warp ``image`` (B, H, W, C) by ``flow`` (B, H, W, 2)
+    in pixels, bilinear, out-of-image reads zero."""
+    B, H, W, _ = image.shape
+    xs = jnp.arange(W, dtype=flow.dtype)
+    ys = jnp.arange(H, dtype=flow.dtype)
+    X, Y = jnp.meshgrid(xs, ys)
+    x = X + flow[..., 0]
+    y = Y + flow[..., 1]
+    out = jax.vmap(bilinear_sample_pixels)(image, x, y)
+    in_img = ((x >= 0) & (x <= W - 1) & (y >= 0) & (y <= H - 1))
+    return out * in_img[..., None].astype(out.dtype)
+
+
+def channel_norm(x: jnp.ndarray) -> jnp.ndarray:
+    """ChannelNorm: L2 norm over channels, keepdims."""
+    return jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+
+
+def _refinement(out_conv2, out_conv3, out_conv4, out_conv5, out_conv6):
+    """Shared FlowNetS/C decoder: coarse-to-fine flow prediction with
+    deconv skip concatenation. Returns flow2..flow6 (NHWC, 2ch)."""
+    flow6 = predict_flow(out_conv6, "predict_flow6")
+    flow6_up = upsample_flow(flow6, "upsampled_flow6_to_5")
+    out_deconv5 = deconv_block(out_conv6, 512, "deconv5")
+
+    concat5 = jnp.concatenate((out_conv5, out_deconv5, flow6_up), -1)
+    flow5 = predict_flow(concat5, "predict_flow5")
+    flow5_up = upsample_flow(flow5, "upsampled_flow5_to_4")
+    out_deconv4 = deconv_block(concat5, 256, "deconv4")
+
+    concat4 = jnp.concatenate((out_conv4, out_deconv4, flow5_up), -1)
+    flow4 = predict_flow(concat4, "predict_flow4")
+    flow4_up = upsample_flow(flow4, "upsampled_flow4_to_3")
+    out_deconv3 = deconv_block(concat4, 128, "deconv3")
+
+    concat3 = jnp.concatenate((out_conv3, out_deconv3, flow4_up), -1)
+    flow3 = predict_flow(concat3, "predict_flow3")
+    flow3_up = upsample_flow(flow3, "upsampled_flow3_to_2")
+    out_deconv2 = deconv_block(concat3, 64, "deconv2")
+
+    concat2 = jnp.concatenate((out_conv2, out_deconv2, flow3_up), -1)
+    flow2 = predict_flow(concat2, "predict_flow2")
+    return flow2, flow3, flow4, flow5, flow6
+
+
+class FlowNetS(nn.Module):
+    """FlowNetS: plain encoder over channel-concatenated inputs."""
+
+    input_channels: int = 12  # 6 for standalone, 12 inside FlowNet2
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
+        out_conv1 = conv_block(x, 64, 7, 2, "conv1")
+        out_conv2 = conv_block(out_conv1, 128, 5, 2, "conv2")
+        out_conv3 = conv_block(out_conv2, 256, 5, 2, "conv3")
+        out_conv3 = conv_block(out_conv3, 256, 3, 1, "conv3_1")
+        out_conv4 = conv_block(out_conv3, 512, 3, 2, "conv4")
+        out_conv4 = conv_block(out_conv4, 512, 3, 1, "conv4_1")
+        out_conv5 = conv_block(out_conv4, 512, 3, 2, "conv5")
+        out_conv5 = conv_block(out_conv5, 512, 3, 1, "conv5_1")
+        out_conv6 = conv_block(out_conv5, 1024, 3, 2, "conv6")
+        out_conv6 = conv_block(out_conv6, 1024, 3, 1, "conv6_1")
+        return _refinement(
+            out_conv2, out_conv3, out_conv4, out_conv5, out_conv6)
+
+
+class FlowNetC(nn.Module):
+    """FlowNetC: siamese encoder + correlation cost volume."""
+
+    max_displacement: int = 20
+    corr_stride: int = 2
+
+    @nn.compact
+    def __call__(self, x1, x2) -> Tuple[jnp.ndarray, ...]:
+        def shared_conv(features, kernel, stride, name):
+            pad = (kernel - 1) // 2
+            return nn.Conv(
+                features, (kernel, kernel), strides=(stride, stride),
+                padding=[(pad, pad), (pad, pad)], name=f"{name}_0")
+
+        # siamese encoder: same instances applied to both images
+        conv1 = shared_conv(64, 7, 2, "conv1")
+        conv2 = shared_conv(128, 5, 2, "conv2")
+        conv3 = shared_conv(256, 5, 2, "conv3")
+
+        out_conv1a = _leaky(conv1(x1))
+        out_conv2a = _leaky(conv2(out_conv1a))
+        out_conv3a = _leaky(conv3(out_conv2a))
+        out_conv1b = _leaky(conv1(x2))
+        out_conv2b = _leaky(conv2(out_conv1b))
+        out_conv3b = _leaky(conv3(out_conv2b))
+
+        out_corr = correlation(
+            out_conv3a, out_conv3b,
+            max_displacement=self.max_displacement,
+            stride=self.corr_stride)
+        out_corr = _leaky(out_corr)
+        out_redir = conv_block(out_conv3a, 32, 1, 1, "conv_redir")
+        merged = jnp.concatenate((out_redir, out_corr), -1)
+
+        out_conv3 = conv_block(merged, 256, 3, 1, "conv3_1")
+        out_conv4 = conv_block(out_conv3, 512, 3, 2, "conv4")
+        out_conv4 = conv_block(out_conv4, 512, 3, 1, "conv4_1")
+        out_conv5 = conv_block(out_conv4, 512, 3, 2, "conv5")
+        out_conv5 = conv_block(out_conv5, 512, 3, 1, "conv5_1")
+        out_conv6 = conv_block(out_conv5, 1024, 3, 2, "conv6")
+        out_conv6 = conv_block(out_conv6, 1024, 3, 1, "conv6_1")
+        return _refinement(
+            out_conv2a, out_conv3, out_conv4, out_conv5, out_conv6)
+
+
+class FlowNet2CSS(nn.Module):
+    """The FlowNet2 cascade C -> S -> S (the stack used by the released
+    FlowNet2 checkpoint, minus the small-displacement SD/fusion branch;
+    sufficient for the large-displacement video regime this pipeline
+    targets). Input: two images (B, H, W, 3) in [0, 1]; output: flow at
+    full resolution, pixels."""
+
+    rgb_mean: Tuple[float, float, float] = (0.411, 0.432, 0.45)
+    div_flow: float = 20.0
+
+    @nn.compact
+    def __call__(self, im1, im2) -> jnp.ndarray:
+        H, W = im1.shape[1:3]
+        mean = jnp.asarray(self.rgb_mean, im1.dtype)
+        x1 = im1 - mean
+        x2 = im2 - mean
+
+        def up4(flow):
+            from ..models.layers import resize_bilinear
+
+            h, w = flow.shape[1:3]
+            return self.div_flow * resize_bilinear(
+                flow, (4 * h, 4 * w), align_corners=False)
+
+        flow2_c = FlowNetC(name="flownetc")(x1, x2)[0]
+        flow_c = up4(flow2_c)
+
+        def stage(name, prev_flow):
+            warped = flow_warp(x2, prev_flow)
+            diff = channel_norm(x1 - warped)
+            inp = jnp.concatenate(
+                (x1, x2, warped, prev_flow / self.div_flow, diff), -1)
+            flow2 = FlowNetS(name=name)(inp)[0]
+            return up4(flow2)
+
+        flow_s1 = stage("flownets_1", flow_c)
+        flow_s2 = stage("flownets_2", flow_s1)
+        return flow_s2

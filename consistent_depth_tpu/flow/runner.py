@@ -1,0 +1,105 @@
+"""Native flow runner (reference: optical_flow_flownet2_homography.py).
+
+For each frame pair: optionally register frame2 onto frame1 with a
+feature homography (RANSAC), run the flow network on the (aligned)
+pair at a 64-multiple resolution, compose the homography back into the
+flow, and resize to the depth resolution. The KITTI-checkpoint path
+skips the homography, as in the reference (flow.py:97-98, 139).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..io import image_io
+from .backends import (FlowBackend, align_homography,
+                       compose_homography_flow, resize_flow)
+from .flownet import FlowNet2CSS
+
+
+def _round64(v: int) -> int:
+    return max(64, int(round(v / 64)) * 64)
+
+
+class JaxFlowBackend(FlowBackend):
+    """Runs a JAX flow network (FlowNet2 C->S->S cascade) on TPU."""
+
+    name = "jax-flownet"
+
+    def __init__(self, variables=None, checkpoint: Optional[str] = None,
+                 homography: bool = True, seed: int = 0):
+        self.module = FlowNet2CSS()
+        self.homography = homography
+        if variables is None:
+            if checkpoint and os.path.isfile(checkpoint):
+                from ..models import torch_import
+
+                sd = torch_import.load_torch_checkpoint(checkpoint)
+                # keep only the C/S1/S2 cascade of a full FlowNet2 dict
+                keep = ("flownetc.", "flownets_1.", "flownets_2.")
+                sd = {k: v for k, v in sd.items() if k.startswith(keep)}
+                template = self._init(seed)
+                variables = torch_import.state_dict_to_variables(
+                    sd, template, strict=False)
+            else:
+                if checkpoint:
+                    print(f"[JaxFlowBackend] checkpoint '{checkpoint}' not "
+                          "found — using random initialization")
+                variables = self._init(seed)
+        self.variables = jax.tree_util.tree_map(jnp.asarray, variables)
+        self._apply = jax.jit(self.module.apply)
+
+    def _init(self, seed: int):
+        x = jnp.zeros((1, 64, 64, 3))
+        return self.module.init(jax.random.PRNGKey(seed), x, x)
+
+    def compute_pair(self, im1: np.ndarray, im2: np.ndarray) -> np.ndarray:
+        """RGB images (H, W, 3) in [0, 1] -> flow (H, W, 2) pixels
+        (at the network resolution, i.e. the input resolution rounded
+        to 64)."""
+        H, W = im1.shape[:2]
+        Hn, Wn = _round64(H), _round64(W)
+
+        homo = None
+        im2_in = im2
+        if self.homography:
+            homo, im2_in = align_homography(im1, im2)
+
+        import cv2
+
+        def prep(im):
+            if (im.shape[0], im.shape[1]) != (Hn, Wn):
+                im = cv2.resize(im, (Wn, Hn), interpolation=cv2.INTER_LINEAR)
+            return jnp.asarray(im[None].astype(np.float32))
+
+        flow = np.asarray(self._apply(
+            self.variables, prep(im1), prep(im2_in))[0])
+        if (Hn, Wn) != (H, W):
+            flow = resize_flow(flow, (W, H))
+        if homo is not None:
+            flow = compose_homography_flow(flow, homo)
+        return flow
+
+    def process_pairs(self, frame_dir: str,
+                      pairs: Sequence[Tuple[int, int]],
+                      out_fmt: str, out_size: Tuple[int, int]) -> None:
+        import cv2
+
+        for (i, j) in pairs:
+            out_fn = out_fmt.format(i, j)
+            if os.path.isfile(out_fn):
+                continue
+            im1 = cv2.imread(
+                os.path.join(frame_dir, f"frame_{i:06d}.png"))[..., ::-1] / 255.0
+            im2 = cv2.imread(
+                os.path.join(frame_dir, f"frame_{j:06d}.png"))[..., ::-1] / 255.0
+            flow = self.compute_pair(
+                im1.astype(np.float32), im2.astype(np.float32))
+            image_io.save_raw_float32_image(
+                out_fn, resize_flow(flow, out_size))
