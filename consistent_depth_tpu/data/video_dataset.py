@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from os.path import join as pjoin
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 

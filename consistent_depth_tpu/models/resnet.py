@@ -13,7 +13,7 @@ backbone (ResNeXt-101 32x8d encoder).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

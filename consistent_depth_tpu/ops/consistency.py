@@ -11,8 +11,6 @@ masks the whole video.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import json
 import os
 from os.path import join as pjoin
-from typing import Iterable, List, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

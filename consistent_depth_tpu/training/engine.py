@@ -88,6 +88,8 @@ class TrainingEngine:
 
         self._train_step = self._compile(self._train_step_impl, donate=True)
         self._eval_step = self._compile(self._eval_step_impl, donate=False)
+        self._train_epoch = self._compile(
+            self._train_epoch_impl, donate=True, batch_rank=2)
         self._infer = None
 
     # ------------------------------------------------------------------
@@ -118,11 +120,14 @@ class TrainingEngine:
         return {k: put(v) for k, v in data.items() if v is not None}
 
     # ------------------------------------------------------------------
-    def _compile(self, fn: Callable, donate: bool):
+    def _compile(self, fn: Callable, donate: bool, batch_rank: int = 1):
         if self.mesh is None:
             return jax.jit(fn, donate_argnums=(0,) if donate else ())
         repl = NamedSharding(self.mesh, P())
-        batch_s = NamedSharding(self.mesh, P(DATA_AXIS))
+        # batch axis sharded over "data"; for epoch-level calls the
+        # index arrays are (steps, batch) with the batch axis sharded
+        spec = P(*([None] * (batch_rank - 1)), DATA_AXIS)
+        batch_s = NamedSharding(self.mesh, spec)
         return jax.jit(
             fn,
             in_shardings=(repl, repl, batch_s, batch_s),
@@ -182,6 +187,21 @@ class TrainingEngine:
         metrics = {"loss": loss, "skipped_nan": ~ok, **batch_losses}
         return new_state, metrics
 
+    def _train_epoch_impl(self, state: TrainState, data, idx, valid):
+        """A whole epoch as one lax.scan over steps — removes per-step
+        dispatch latency and host round-trips entirely.
+
+        Args:
+            idx, valid: (steps, batch)
+        """
+        def body(state, step_inputs):
+            step_idx, step_valid = step_inputs
+            new_state, metrics = self._train_step_impl(
+                state, data, step_idx, step_valid)
+            return new_state, metrics
+
+        return jax.lax.scan(body, state, (idx, valid))
+
     def _eval_step_impl(self, state: TrainState, data, idx, valid):
         """Validation pass: train-mode BN with running-stat updates but
         no gradient step (matches torch no_grad in train() mode —
@@ -198,6 +218,17 @@ class TrainingEngine:
     # ------------------------------------------------------------------
     def train_step(self, state, data, idx, valid):
         return self._train_step(state, data, jnp.asarray(idx), jnp.asarray(valid))
+
+    def train_epoch(self, state, data, idx, valid):
+        """Run all steps of an epoch in one device program.
+
+        Args:
+            idx, valid: (steps, batch) arrays
+        Returns:
+            (state, metrics stacked over steps)
+        """
+        return self._train_epoch(
+            state, data, jnp.asarray(idx), jnp.asarray(valid))
 
     def eval_step(self, state, data, idx, valid):
         return self._eval_step(state, data, jnp.asarray(idx), jnp.asarray(valid))

@@ -234,21 +234,28 @@ class DepthFineTuner:
             if profile_dir and epoch == start_epoch:
                 jax.profiler.start_trace(profile_dir)
             epoch_start_time = time.perf_counter()
-            for idx, valid in it.epoch(epoch):
-                self.state, metrics = self.engine.train_step(
-                    self.state, dev_data, idx, valid)
-                loss = float(metrics["loss"])
+
+            # all steps of the epoch run as ONE device program
+            # (lax.scan); logs are emitted from the stacked metrics
+            steps = list(it.epoch(epoch))
+            idx_mat = np.stack([s[0] for s in steps])
+            valid_mat = np.stack([s[1] for s in steps])
+            self.state, metrics = self.engine.train_epoch(
+                self.state, dev_data, idx_mat, valid_mat)
+            metrics = jax.device_get(metrics)
+
+            for s, (idx, valid) in enumerate(steps):
+                loss = float(metrics["loss"][s])
                 pairs = data.pair_ids[idx[valid > 0]].tolist()
                 print(f"Epoch = {epoch}, pairs = {pairs}, loss = {loss}")
-                if metrics["skipped_nan"]:
+                if metrics["skipped_nan"][s]:
                     print("Loss is NaN. Skipping.")
-
                 total_iters += int(valid.sum())
                 if writer is not None and total_iters % self.params.print_freq == 0:
                     writer.add_scalar("Train/loss", loss, total_iters)
                     log_loss_stats(
                         writer, "Train/loss",
-                        {k: np.asarray(metrics[k])
+                        {k: np.asarray(metrics[k][s])
                          for k in ("reprojection", "disparity")
                          if k in metrics},
                         total_iters)

@@ -12,8 +12,6 @@ from __future__ import annotations
 import os
 import struct
 import time
-from typing import Optional
-
 import numpy as np
 
 _CRC_TABLE = None
