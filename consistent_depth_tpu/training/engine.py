@@ -69,12 +69,14 @@ class TrainingEngine:
         params_init: Any = None,
         precision: str = "f32",
     ):
-        if precision == "bf16":
-            # backbone conv compute in bfloat16 (params stay f32, BN
-            # statistics and the geometric loss stay f32)
-            from ..models import layers
+        # backbone conv compute dtype (params stay f32, BN statistics
+        # and the geometric loss stay f32 either way). Set explicitly in
+        # both cases: the policy is process-global and must not leak
+        # from a previously constructed engine.
+        from ..models import layers
 
-            layers.set_compute_dtype(jnp.bfloat16)
+        layers.set_compute_dtype(
+            jnp.bfloat16 if precision == "bf16" else None)
         self.model = model
         self.optimizer = optimizer
         self.weights = weights

@@ -83,6 +83,11 @@ class DepthFineTuningParams:
             "--profile_dir", default=None,
             help="If set, capture a jax.profiler trace of one epoch "
                  "into this directory.")
+        parser.add_argument(
+            "--precision", choices=["f32", "bf16"], default="f32",
+            help="Backbone conv compute dtype. f32 matches the "
+                 "reference numerics; bf16 is faster on TPU (params, "
+                 "BN statistics, and the loss stay f32 either way).")
         return parser
 
 
@@ -145,7 +150,8 @@ class DepthFineTuner:
         tx = optimizer_registry.create(
             params.optimizer, params.learning_rate, betas=(0.9, 0.999))
         self.engine = TrainingEngine(
-            self.model, tx, self.weights, mesh=self.mesh)
+            self.model, tx, self.weights, mesh=self.mesh,
+            precision=getattr(params, "precision", "f32"))
         self.state = self.engine.init_state()
         self.vis_depth_scale: Optional[float] = None
 
