@@ -291,12 +291,24 @@ class DepthFineTuner:
         print("Finished Training")
 
     def _write_summary(self, writer, dev_data, idx, n_iter):
+        """Image grids of inputs / predicted disparity / masks
+        (reference: depth_fine_tuning.py:93-114)."""
         from .engine import gather_batch
 
         batch = jax.device_get(gather_batch(dev_data, np.asarray(idx)))
         imgs = batch["images"].reshape((-1,) + batch["images"].shape[2:])
         writer.add_image(
             "Train/image", make_image_grid(imgs, normalize=True), n_iter)
+        _, em = self.engine.eval_step(
+            self.state, dev_data, np.asarray(idx),
+            np.ones(len(idx), np.float32))
+        inv_depth = 1.0 / np.asarray(jax.device_get(em["depth"]))
+        writer.add_image(
+            "Train/pred_full",
+            make_image_grid(
+                inv_depth.reshape((-1,) + inv_depth.shape[2:] + (1,)),
+                normalize=True),
+            n_iter)
         writer.add_image(
             "Train/mask",
             make_image_grid(

@@ -18,7 +18,7 @@ def _params(path, epochs):
         learning_rate=4e-4, optimizer="Adam",
         lambda_view_baseline=0.1, lambda_reprojection=1.0,
         lambda_parameter=0, val_epoch_freq=10, save_epoch_freq=1,
-        print_freq=1000, display_freq=1000, log_dir=None,
+        print_freq=1000, display_freq=4, log_dir=None,
         use_mesh=False, model_checkpoint="", resume=True, profile_dir=None)
 
 
