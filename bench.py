@@ -10,8 +10,15 @@ the whole dataset in HBM, so steady-state step time is the whole story.
 
 Measures steady-state train-step latency (post-compile) and projects
 the full 20-epoch fine-tune incl. the 21 eval passes, then compares
-with the reference's 37-minute end-to-end demo figure (RTX 2080,
-README.md:43) scaled to its fine-tune portion.
+with the reference's demo figure (RTX 2080, README.md:43).
+
+Baseline accounting: the reference's 37 min are END-TO-END (FlowNet2
+flow + fine-tune + export; COLMAP precomputed). This projection covers
+only the fine-tune stage, so ``vs_baseline`` divides by an estimated
+fine-tune-only baseline: 37 min minus ~180 s of FlowNet2 flow (1430
+directed pairs at the ~8 fps the FlowNet2 paper reports on comparable
+hardware) and ~120 s of ffmpeg export => ~1920 s. The raw end-to-end
+ratio is also reported in ``detail.vs_end_to_end``.
 
 Prints ONE JSON line:
     {"metric": ..., "value": ..., "unit": "s", "vs_baseline": ...}
@@ -25,7 +32,9 @@ import numpy as np
 
 import jax
 
-BASELINE_SECONDS = 37 * 60.0  # reference end-to-end demo (README.md:43)
+END_TO_END_BASELINE_SECONDS = 37 * 60.0   # reference demo (README.md:43)
+FINE_TUNE_BASELINE_SECONDS = 1920.0       # see module docstring
+V5E_PEAK_BF16_FLOPS = 197e12              # v5e peak bf16 (per chip)
 PRECISION = os.environ.get("BENCH_PRECISION", "bf16")  # bf16 | f32
 
 N_FRAMES = 244
@@ -90,9 +99,6 @@ def main():
     state = engine.init_state()
     dev_data = engine.put_data(data)
 
-    idx = np.arange(batch, dtype=np.int32) % P
-    valid = np.ones(batch, np.float32)
-
     # epoch program: all steps under one lax.scan (the production path)
     rng2 = np.random.default_rng(1)
     order = np.arange(steps_per_epoch * batch) % P
@@ -108,7 +114,7 @@ def main():
     def fetch(x):
         return np.asarray(jax.device_get(x))
 
-    state, em_ = engine.eval_step(state, dev_data, idx, valid)
+    state, em_ = engine.eval_epoch(state, dev_data, idx_mat, valid_mat)
     fetch(em_["loss"])
     state, m = engine.train_epoch(state, dev_data, idx_mat, valid_mat)
     fetch(m["loss"])
@@ -122,20 +128,41 @@ def main():
     epoch_s = (time.perf_counter() - t0) / n_timed
     train_step_s = epoch_s / steps_per_epoch
 
+    # eval pass: one lax.scan program over the whole dataset (the
+    # production path, engine.eval_epoch); includes fetching the
+    # deduplicated per-frame depth buffer like the pipeline does
     t0 = time.perf_counter()
-    for i in range(4):
-        state, em = engine.eval_step(state, dev_data, (idx + i) % P, valid)
+    for _ in range(n_timed):
+        state, em = engine.eval_epoch(state, dev_data, idx_mat, valid_mat)
+        fetch(em["depth_frames"])
     fetch(em["loss"])
-    eval_step_s = (time.perf_counter() - t0) / 4
+    eval_epoch_s = (time.perf_counter() - t0) / n_timed
+    eval_step_s = eval_epoch_s / steps_per_epoch
 
-    total_eval_steps = (EPOCHS + 1) * steps_per_epoch
-    projected = EPOCHS * epoch_s + total_eval_steps * eval_step_s
+    projected = EPOCHS * epoch_s + (EPOCHS + 1) * eval_epoch_s
+
+    # achieved FLOPS / MFU from the compiled epoch program's own cost
+    # analysis (forward + backward + optimizer, the whole hot program)
+    try:
+        cost = (
+            engine._train_epoch
+            .lower(state, dev_data, idx_mat, valid_mat,
+                   np.full(steps_per_epoch, -1, np.int32))
+            .compile().cost_analysis())
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        epoch_flops = float(cost.get("flops", 0.0))
+    except Exception:  # pragma: no cover - cost analysis unavailable
+        epoch_flops = 0.0
+    achieved_tflops = epoch_flops / epoch_s / 1e12 if epoch_flops else None
+    mfu = (epoch_flops / epoch_s / (n_chips * V5E_PEAK_BF16_FLOPS)
+           if epoch_flops else None)
 
     result = {
         "metric": "ayush_finetune_20epoch_projected_wallclock",
         "value": round(projected, 2),
         "unit": "s",
-        "vs_baseline": round(BASELINE_SECONDS / projected, 2),
+        "vs_baseline": round(FINE_TUNE_BASELINE_SECONDS / projected, 2),
         "detail": {
             "n_chips": n_chips,
             "precision": PRECISION,
@@ -144,6 +171,12 @@ def main():
             "steps_per_epoch": steps_per_epoch,
             "train_step_ms": round(train_step_s * 1e3, 2),
             "eval_step_ms": round(eval_step_s * 1e3, 2),
+            "fine_tune_baseline_s": FINE_TUNE_BASELINE_SECONDS,
+            "end_to_end_baseline_s": END_TO_END_BASELINE_SECONDS,
+            "vs_end_to_end": round(END_TO_END_BASELINE_SECONDS / projected, 2),
+            "train_step_tflops": (
+                round(achieved_tflops, 1) if achieved_tflops else None),
+            "mfu": round(mfu, 3) if mfu else None,
         },
     }
     print(json.dumps(result))

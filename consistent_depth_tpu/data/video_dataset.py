@@ -61,6 +61,56 @@ def load_mask(path: str) -> np.ndarray:
     return (mask > 0).astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# Batched host IO: the dataset loads hundreds of same-shaped files; the
+# C++ reader (native/raw_io.cpp, io._native) reads a whole batch with
+# one call, and PNG masks decode on a thread pool (cv2 releases the
+# GIL). Falls back to the per-file loaders when the native library or
+# shape uniformity is unavailable.
+# ---------------------------------------------------------------------------
+
+def _native_batch(paths, probe_shape):
+    from ..io import _native
+
+    if not _native.available() or len(paths) <= 1:
+        return None
+    if any(os.path.splitext(p)[-1] != ".raw" for p in paths):
+        return None
+    h, w = probe_shape[:2]
+    c = probe_shape[2] if len(probe_shape) == 3 else 1
+    try:
+        return _native.load_raw_batch(list(paths), h, w, c)
+    except (OSError, IOError):
+        return None
+
+
+def load_color_batch(paths) -> np.ndarray:
+    """(N, H, W, 3) float32 BGR stack of same-shaped color frames."""
+    first = load_color(paths[0])
+    batch = _native_batch(paths, first.shape[:2] + (3,))
+    if batch is not None:
+        return np.ascontiguousarray(batch[..., ::-1])  # RGB -> BGR
+    return np.stack([first] + [load_color(p) for p in paths[1:]])
+
+
+def load_flow_batch(paths, h: int, w: int) -> np.ndarray:
+    """(N, H, W, 2) float32 stack of flow fields."""
+    batch = _native_batch(paths, (h, w, 2))
+    if batch is not None:
+        return batch
+    return np.stack([load_flow(p) for p in paths])
+
+
+def load_mask_batch(paths) -> np.ndarray:
+    """(N, H, W) float32 stack of binary masks (threaded PNG decode)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(paths) <= 4:
+        return np.stack([load_mask(p) for p in paths])
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        return np.stack(list(pool.map(load_mask, paths)))
+
+
 @dataclass
 class PairData:
     """All arrays for fine-tuning one video; host numpy, static shapes."""
@@ -117,17 +167,19 @@ class VideoPairDataset:
         frame_ids = sorted({i for pair in self.pairs for i in pair})
         id_to_slot = {f: s for s, f in enumerate(frame_ids)}
 
-        frames = np.stack(
-            [load_color(self.color_fmt.format(i)) for i in frame_ids])
+        frames = load_color_batch(
+            [self.color_fmt.format(i) for i in frame_ids])
         H, W = frames.shape[1:3]
 
         P = len(self.pairs)
-        flows = np.zeros((P, 2, H, W, 2), np.float32)
-        masks = np.zeros((P, 2, H, W), np.float32)
-        for p, (i, j) in enumerate(self.pairs):
-            for k, (a, b) in enumerate(((i, j), (j, i))):
-                flows[p, k] = load_flow(self.flow_fmt.format(a, b))
-                masks[p, k] = load_mask(self.mask_fmt.format(a, b))
+        directed = [(a, b)
+                    for (i, j) in self.pairs for (a, b) in ((i, j), (j, i))]
+        flows = load_flow_batch(
+            [self.flow_fmt.format(a, b) for a, b in directed],
+            H, W).reshape(P, 2, H, W, 2)
+        masks = load_mask_batch(
+            [self.mask_fmt.format(a, b) for a, b in directed]
+        ).reshape(P, 2, H, W)
 
         if self.meta_file is not None:
             with np.load(self.meta_file) as meta:
@@ -181,7 +233,7 @@ class VideoFrameDataset:
 
     def load_batch(self, indices: Sequence[int]) -> Tuple[np.ndarray, List[int]]:
         ids = [self.frames[i] for i in indices]
-        images = np.stack([load_color(self.color_fmt.format(i)) for i in ids])
+        images = load_color_batch([self.color_fmt.format(i) for i in ids])
         return images, ids
 
 

@@ -125,3 +125,20 @@ def correlation_pallas(
         )(f1b, f2b)
 
     return jax.vmap(run_one)(f1, f2p)
+
+
+def correlation_auto(
+    f1: jnp.ndarray,
+    f2: jnp.ndarray,
+    max_displacement: int = 20,
+    stride: int = 2,
+) -> jnp.ndarray:
+    """Backend dispatch: the Pallas kernel on TPU (when the height tiles
+    into row-bands), the jnp formulation elsewhere (CPU tests, odd
+    shapes)."""
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if on_tpu and f1.shape[1] % 8 == 0 and f1.dtype == jnp.float32:
+        return correlation_pallas(
+            f1, f2, max_displacement=max_displacement, stride=stride,
+            block_h=8)
+    return correlation(f1, f2, max_displacement, stride)

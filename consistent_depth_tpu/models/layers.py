@@ -87,6 +87,159 @@ class TorchBatchNorm(nn.Module):
         return y
 
 
+# ---------------------------------------------------------------------------
+# Space-to-depth convolution
+# ---------------------------------------------------------------------------
+#
+# A stride-1 kxk conv with few output channels uses only C_out/128 of the
+# MXU's lanes; the hourglass's inception branches (C_out in {16, 32}) run
+# at 3-12 TFLOPS on v5e because of it. Space-to-depth by factor s is an
+# EXACT reformulation: x (B,H,W,C) -> (B,H/s,W/s,s^2 C), the kernel
+# shrinks to kk = floor((s-1+p)/s)+ceil(p/s)+1 taps and the channels
+# grow to (s^2 C_in, s^2 C_out) with structured zeros. Measured on chip
+# (tools/mxu_bench.py): 3-8x on the k>=7 high-resolution convs.
+
+_S2D_ENABLED = True
+
+
+def set_s2d_enabled(flag: bool) -> None:
+    """Globally toggle the space-to-depth conv path (parity tests run
+    both ways; production default is on)."""
+    global _S2D_ENABLED
+    _S2D_ENABLED = flag
+
+
+@functools.lru_cache(maxsize=None)
+def _s2d_gather_indices(k: int, s: int):
+    """Kernel-row gather map for the s2d transform.
+
+    Returns (KI (kk, s, s) int32 with value k meaning "zero", kk, pad):
+    KI[r, d, o] is the original kernel tap feeding s2d-tap r for output
+    phase d and input phase o.
+    """
+    p = (k - 1) // 2
+    lo = -((p + s - 1) // s)
+    hi = (s - 1 + p) // s
+    kk = hi - lo + 1
+    r = np.arange(kk)[:, None, None]
+    d = np.arange(s)[None, :, None]
+    o = np.arange(s)[None, None, :]
+    KI = (r + lo) * s + o - d + p
+    KI = np.where((KI >= 0) & (KI < k), KI, k)
+    # host numpy only: a cached jnp array created under jit would leak
+    # its tracer into later traces (same rule as _interp_matrices)
+    return KI.astype(np.int32), kk, -lo
+
+
+def s2d_kernel(w: jnp.ndarray, s: int):
+    """Transform a (k, k, C_in, C_out) kernel into its space-to-depth
+    equivalent (kk, kk, s^2 C_in, s^2 C_out). Pure gathers — cheap and
+    differentiable (the VJP is a scatter-add over the small kernel)."""
+    k, _, Ci, Co = w.shape
+    KI, kk, pad = _s2d_gather_indices(k, s)
+    z_row = jnp.zeros((1,) + w.shape[1:], w.dtype)
+    t = jnp.concatenate([w, z_row], axis=0)[KI]     # (kk,s,s, k,Ci,Co)
+    z_col = jnp.zeros(t.shape[:3] + (1,) + t.shape[4:], w.dtype)
+    t = jnp.concatenate([t, z_col], axis=3)[:, :, :, KI]
+    # axes: (ri, di, oi, rj, dj, oj, ci, co) -> (ri, rj, oi, oj, ci, di, dj, co)
+    t = t.transpose(0, 3, 2, 5, 6, 1, 4, 7)
+    return t.reshape(kk, kk, s * s * Ci, s * s * Co), kk, pad
+
+
+def space_to_depth(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // s, s, W // s, s, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // s, W // s, s * s * C)
+
+
+def depth_to_space(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    B, H, W, C2 = x.shape
+    c = C2 // (s * s)
+    x = x.reshape(B, H, W, s, s, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H * s, W * s, c)
+
+
+def _s2d_factor(H: int, W: int, C_in: int, k: int, C_out: int) -> int:
+    """Measured policy (tools/mxu_bench.py on v5e, bf16): where the s2d
+    reformulation beats XLA's native conv, and by which factor s.
+    Returns 0 to keep the native conv.
+
+    Cost model: predicted time ratio = FLOP inflation of the padded
+    kernel over the MXU-utilisation gain (lanes x contraction depth);
+    accept only clear predicted wins, and only where the spatial extent
+    is large enough that the s2d transposes stay negligible (validated
+    against the on-chip measurements in tools/mxu_bench.py)."""
+    if not _S2D_ENABLED or k < 2 or H * W < 112 * 192:
+        return 0
+    p = (k - 1) // 2
+    best_s, best_score = 0, 0.75   # require a >=25% predicted win
+    for s in (2, 4):
+        if H % s or W % s:
+            continue
+        kk = (s - 1 + p) // s + (p + s - 1) // s + 1
+        inflation = (kk * kk * s * s) / (k * k)
+        lane_gain = min(s * s * C_out, 128) / min(C_out, 128)
+        depth_gain = min(s * s * C_in, 128) / min(C_in, 128)
+        score = inflation / (lane_gain * depth_gain)
+        if score < best_score:
+            best_s, best_score = s, score
+    return best_s
+
+
+class TorchConv(nn.Module):
+    """torch ``nn.Conv2d`` twin (explicit symmetric zero padding) with a
+    space-to-depth fast path for MXU-hostile shapes. Parameter names and
+    shapes are identical to ``flax.linen.Conv`` ("kernel" HWIO, "bias"),
+    so checkpoint import/export is unaffected by the compute path."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size[0]
+        C_in = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size[0], self.kernel_size[1], C_in, self.features),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias else None
+        )
+        dt = _COMPUTE_DTYPE or x.dtype
+        x = x.astype(dt)
+        w = kernel.astype(dt)
+
+        s = 0
+        if (self.stride == 1 and self.dilation == 1
+                and self.kernel_size[0] == self.kernel_size[1]
+                and self.padding == (k - 1) // 2 and x.ndim == 4):
+            s = _s2d_factor(x.shape[1], x.shape[2], C_in, k, self.features)
+
+        if s:
+            w2, kk, pad = s2d_kernel(w, s)
+            y = jax.lax.conv_general_dilated(
+                space_to_depth(x, s), w2, (1, 1),
+                [(pad, kk - 1 - pad), (pad, kk - 1 - pad)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = depth_to_space(y, s)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, w, (self.stride, self.stride),
+                [(self.padding, self.padding)] * 2,
+                rhs_dilation=(self.dilation, self.dilation),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if bias is not None:
+            y = y + bias.astype(dt)
+        return y
+
+
 def conv(
     features: int,
     kernel: int | Tuple[int, int],
@@ -95,18 +248,17 @@ def conv(
     use_bias: bool = True,
     name: Optional[str] = None,
     dilation: int = 1,
-) -> nn.Conv:
+) -> TorchConv:
     """torch ``nn.Conv2d`` equivalent (explicit symmetric zero padding)."""
     if isinstance(kernel, int):
         kernel = (kernel, kernel)
-    return nn.Conv(
+    return TorchConv(
         features=features,
         kernel_size=kernel,
-        strides=(stride, stride),
-        padding=[(padding, padding), (padding, padding)],
-        kernel_dilation=(dilation, dilation),
+        stride=stride,
+        padding=padding,
+        dilation=dilation,
         use_bias=use_bias,
-        dtype=_COMPUTE_DTYPE,
         name=name,
     )
 

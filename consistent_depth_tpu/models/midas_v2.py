@@ -50,13 +50,14 @@ class FeatureFusionBlock(nn.Module):
     def __call__(self, x, skip=None):
         out = x
         # resConfUnit1 exists (and is checkpointed) even in refinenet4
-        # where no skip input reaches it; materialize its params either
-        # way so weight import/export stays total
+        # where no skip input reaches it; materialize its params at init
+        # time only, so weight import/export stays total without paying
+        # its forward on every call
         unit1 = ResidualConvUnit(self.features, name="resConfUnit1")
         if skip is not None:
             out = out + unit1(skip)
-        else:
-            out = out + 0.0 * unit1(out)
+        elif self.is_initializing():
+            unit1(out)
         out = ResidualConvUnit(self.features, name="resConfUnit2")(out)
         H, W = out.shape[1:3]
         # torch: interpolate(scale_factor=2, bilinear, align_corners=True)

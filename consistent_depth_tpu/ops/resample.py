@@ -12,9 +12,10 @@ torch 1.4 defaults, i.e. ``align_corners=False`` with
 NaN/Inf sampling coordinates propagate NaN into the output (matching
 torch), which downstream masking/NaN-skip handles.
 
-Implementation: flat gather over H*W. XLA lowers this to an efficient
-dynamic-gather on TPU; a fused Pallas kernel for the full loss chain
-lives in :mod:`consistent_depth_tpu.ops.pallas_kernels`.
+Implementation: flat gather over H*W, which XLA lowers to an efficient
+dynamic-gather on TPU. (Measured in round 1: the loss chain is a few ms
+per step next to the backbone's hundreds, so no fused kernel is needed
+here.)
 """
 
 from __future__ import annotations

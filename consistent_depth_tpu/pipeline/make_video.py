@@ -1,8 +1,15 @@
-"""Comparison-video export (reference: tools/make_video.py).
+"""Comparison-video export.
 
-ffmpeg subprocess driver producing side-by-side color / initial /
-COLMAP / fine-tuned disparity videos and gray+depth overlays. Also a
-standalone CLI: ``python -m consistent_depth_tpu.pipeline.make_video``.
+Renders the reference's visualization videos (reference:
+tools/make_video.py): a color video, one disparity video + gray/depth
+overlay per depth source, and hstacked side-by-side comparisons. The
+ffmpeg command lines are the output contract (identical videos); the
+machinery here is organised around an :class:`FFmpeg` helper that owns
+command construction + output caching, and a depth-source discovery
+pass that validates frame counts up front.
+
+Also a standalone CLI:
+``python -m consistent_depth_tpu.pipeline.make_video``.
 """
 
 from __future__ import annotations
@@ -14,7 +21,7 @@ import shutil
 import subprocess
 import sys
 from os.path import join as pjoin
-from typing import Tuple
+from typing import List, Optional, Sequence, Tuple
 
 
 class MakeVideoParams:
@@ -35,162 +42,185 @@ class MakeVideoParams:
                             help="path to the ffmpeg binary")
 
 
-def num_frames(dir: str, ext: str) -> int:  # noqa: A002
-    return len([fn for fn in os.listdir(dir)
-                if os.path.splitext(fn)[-1] == ext])
+def count_frames(directory: str, ext: str) -> int:
+    return sum(1 for fn in os.listdir(directory)
+               if os.path.splitext(fn)[1] == ext)
 
 
-def augment_args(args):
-    if args.video3d_dir is not None:
-        args.color_dir = pjoin(args.video3d_dir, args.color_dir)
-        args.depth_dirs = [pjoin(args.video3d_dir, d) for d in args.depth_dirs]
-        args.out_dir = pjoin(args.video3d_dir, args.out_dir)
-
-    frame_ext = os.path.splitext(args.frame_fmt)[-1]
-    n = num_frames(args.color_dir, frame_ext)
-    assert n > 0
-
-    DEPTH = "depth"
-    args.depth_names = []
-    valid_depth_dirs = []
-    for depth_dir in args.depth_dirs:
-        if not os.path.isdir(depth_dir):
-            logging.warning("[Warning] missing %s", depth_dir)
-            continue
-        names = os.listdir(depth_dir)
-        if DEPTH in names and len(names) == 1:
-            depth_dir = pjoin(depth_dir, DEPTH)
-        if num_frames(depth_dir, frame_ext) == n:
-            valid_depth_dirs.append(depth_dir)
-        else:
-            logging.warning("[Warning] %d vs. %d in %s",
-                            num_frames(depth_dir, frame_ext), n, depth_dir)
-            continue
-        p_head, p_tail = os.path.split(depth_dir)
-        if p_tail == DEPTH:
-            p_head, p_tail = os.path.split(p_head)
-        args.depth_names.append(p_tail)
-    args.depth_dirs = valid_depth_dirs
-    return args
-
-
-def frame_size(frame_fmt: str, frame_index: int = 0) -> Tuple[int, int]:
+def probe_frame_size(frame_fmt: str, index: int = 0) -> Tuple[int, int]:
     import cv2
 
-    return cv2.imread(frame_fmt % frame_index).shape[:2][::-1]
+    return cv2.imread(frame_fmt % index).shape[1::-1]
 
 
-def make_resized_filename(prefix, size, ext):
-    return prefix + "_" + str(size) + ext
+class FFmpeg:
+    """Builds + runs the export's ffmpeg invocations. Every product is
+    cached by output-file existence (rerunning the stage is free)."""
+
+    def __init__(self, binary: str, ext: str = ".mp4", crf: int = 1):
+        self.binary = binary
+        self.ext = ext
+        self.crf = crf
+
+    def available(self) -> bool:
+        return shutil.which(self.binary) is not None
+
+    def _run(self, *args: str, out: str) -> str:
+        if not os.path.isfile(out):
+            print(subprocess.run(
+                [self.binary, *args, out], check=True))
+        return out
+
+    def encode(self, frame_fmt: str, prefix: str,
+               size: Optional[Tuple[int, int]] = None) -> str:
+        """Frames -> libx264 video (r30, even-dim pad), plus a rescaled
+        variant when the frames differ from ``size``."""
+        out = self._run(
+            "-r", "30", "-i", frame_fmt,
+            "-vcodec", "libx264", "-pix_fmt", "yuv420p",
+            "-crf", str(self.crf),
+            "-vf", "pad=ceil(iw/2)*2:ceil(ih/2)*2",
+            out=prefix + self.ext)
+        if size is not None and probe_frame_size(frame_fmt) != tuple(size):
+            self._run(
+                "-i", out, "-vf", "scale=%d:%d" % tuple(size),
+                out=self._sized_name(prefix, size))
+        return out
+
+    def _sized_name(self, prefix: str, size) -> str:
+        return f"{prefix}_{tuple(size)}{self.ext}"
+
+    def _best_variant(self, prefix: str, size) -> str:
+        """The rescaled file when it exists, else the original."""
+        if size is not None:
+            sized = self._sized_name(prefix, size)
+            if os.path.isfile(sized):
+                return sized
+        return prefix + self.ext
+
+    def hstack(self, prefixes: Sequence[str], out_dir: str,
+               size=None) -> str:
+        """Side-by-side comparison of already-encoded videos."""
+        out = pjoin(out_dir,
+                    "_".join(os.path.basename(p) for p in prefixes)
+                    + self.ext)
+        if os.path.isfile(out):
+            return out
+        cmd: List[str] = []
+        for p in prefixes:
+            cmd += ["-i", self._best_variant(p, size)]
+        cmd += ["-filter_complex", f"hstack=inputs={len(prefixes)}",
+                "-crf", str(self.crf)]
+        return self._run(*cmd, out=out)
 
 
-def make_resized_filename_if_exists(prefix, ext, size=None):
-    unsized = prefix + ext
-    if size is None:
-        return unsized
-    sized = make_resized_filename(prefix, size, ext)
-    return sized if os.path.isfile(sized) else unsized
+# ---------------------------------------------------------------------------
+# Inputs
+# ---------------------------------------------------------------------------
+
+def discover_depth_sources(
+    depth_dirs: Sequence[str], frame_ext: str, expected_frames: int
+) -> List[Tuple[str, str]]:
+    """Resolve each requested depth dir to (display name, frame dir),
+    descending into a sole ``depth/`` subdirectory and dropping sources
+    that are missing or have the wrong frame count."""
+    sources = []
+    for d in depth_dirs:
+        if not os.path.isdir(d):
+            logging.warning("[Warning] missing %s", d)
+            continue
+        if os.listdir(d) == ["depth"]:
+            d = pjoin(d, "depth")
+        found = count_frames(d, frame_ext)
+        if found != expected_frames:
+            logging.warning(
+                "[Warning] %d vs. %d in %s", found, expected_frames, d)
+            continue
+        head, name = os.path.split(d)
+        if name == "depth":
+            name = os.path.basename(head)
+        sources.append((name, d))
+    return sources
 
 
-def make_video(ffmpeg, frame_fmt, out_prefix, ext=".mp4", size=None, crf=1):
-    out_fn = out_prefix + ext
-    if not os.path.isfile(out_fn):
-        cmd = [ffmpeg, "-r", "30", "-i", frame_fmt,
-               "-vcodec", "libx264", "-pix_fmt", "yuv420p",
-               "-crf", str(crf),
-               "-vf", "pad=ceil(iw/2)*2:ceil(ih/2)*2", out_fn]
-        print(subprocess.run(cmd, check=True))
-    if size is None:
-        return
-    in_size = frame_size(frame_fmt)
-    if in_size == size:
-        return
-    resized_out_fn = make_resized_filename(out_prefix, size, ext)
-    if os.path.isfile(resized_out_fn):
-        return
-    print(subprocess.run(
-        [ffmpeg, "-i", out_fn,
-         "-vf", "scale=" + ":".join(str(x) for x in size), resized_out_fn],
-        check=True))
-
-
-def make_overlay(depth_fmt, color_fmt, overlay_fmt):
+def render_overlays(depth_fmt: str, color_fmt: str, out_fmt: str,
+                    n: int) -> None:
+    """Half-gray + half-depth blend frames (the reference's overlay
+    look, tools/make_video.py:165-174)."""
     import cv2
 
-    n = num_frames(os.path.dirname(color_fmt),
-                   os.path.splitext(color_fmt)[-1])
     for i in range(n):
         color = cv2.imread(color_fmt % i)
         depth = cv2.imread(depth_fmt % i)
         if depth.shape != color.shape:
-            depth = cv2.resize(depth, color.shape[:2][::-1])
-        gray = cv2.cvtColor(color, cv2.COLOR_BGR2GRAY)
-        overlay = gray.reshape(gray.shape[:2] + (-1,)) / 2.0 + depth / 2.0
-        cv2.imwrite(overlay_fmt % i, overlay)
+            depth = cv2.resize(depth, color.shape[1::-1])
+        gray = cv2.cvtColor(color, cv2.COLOR_BGR2GRAY)[..., None]
+        cv2.imwrite(out_fmt % i, gray / 2.0 + depth / 2.0)
 
 
-def stack_videos(ffmpeg, fn_prefixes, out_dir, ext=".mp4", size=None, crf=1):
-    out_pre = "_".join(os.path.basename(p) for p in fn_prefixes)
-    out_fn = pjoin(out_dir, out_pre + ext)
-    if os.path.isfile(out_fn):
-        return out_fn
-    vid_fns = [make_resized_filename_if_exists(p, ext, size=size)
-               for p in fn_prefixes]
-    cmd = [ffmpeg]
-    for fn in vid_fns:
-        cmd += ["-i", fn]
-    cmd += ["-filter_complex", "hstack=inputs=" + str(len(vid_fns)),
-            "-crf", str(crf), out_fn]
-    print(subprocess.run(cmd, check=True))
-    return out_fn
+# ---------------------------------------------------------------------------
+# Export orchestration
+# ---------------------------------------------------------------------------
+
+def _resolve_paths(args):
+    if args.video3d_dir is not None:
+        args.color_dir = pjoin(args.video3d_dir, args.color_dir)
+        args.depth_dirs = [pjoin(args.video3d_dir, d)
+                           for d in args.depth_dirs]
+        args.out_dir = pjoin(args.video3d_dir, args.out_dir)
+    return args
 
 
-def make_depth_videos(ffmpeg, depth_fmt, color_fmt, out_prefix,
-                      ext=".mp4", size=None):
-    make_video(ffmpeg, depth_fmt, out_prefix, ext=ext, size=size)
-    overlay_prefix = out_prefix + "-overlay"
-    if os.path.isfile(overlay_prefix + ext):
-        return
-    overlay_dir = out_prefix
-    os.makedirs(overlay_dir, exist_ok=True)
-    overlay_fmt = pjoin(overlay_dir, os.path.basename(depth_fmt))
-    make_overlay(depth_fmt, color_fmt, overlay_fmt)
-    make_video(ffmpeg, overlay_fmt, overlay_prefix, ext=ext, size=size)
-    shutil.rmtree(overlay_dir)
-    stack_videos(ffmpeg, [out_prefix, overlay_prefix],
-                 os.path.dirname(out_prefix), ext=ext, size=size)
+def _export_depth_source(ff: FFmpeg, depth_fmt: str, color_fmt: str,
+                         prefix: str, size, n: int) -> None:
+    """Disparity video + overlay video + their side-by-side stack for
+    one depth source."""
+    ff.encode(depth_fmt, prefix, size=size)
+    overlay_prefix = prefix + "-overlay"
+    if not os.path.isfile(overlay_prefix + ff.ext):
+        tmp_dir = prefix
+        os.makedirs(tmp_dir, exist_ok=True)
+        overlay_fmt = pjoin(tmp_dir, os.path.basename(depth_fmt))
+        render_overlays(depth_fmt, color_fmt, overlay_fmt, n)
+        ff.encode(overlay_fmt, overlay_prefix, size=size)
+        shutil.rmtree(tmp_dir)
+    ff.hstack([prefix, overlay_prefix],
+              os.path.dirname(prefix), size=size)
 
 
-def main(args):
-    if shutil.which(args.ffmpeg) is None:
+def main(args) -> int:
+    ff = FFmpeg(args.ffmpeg, ext=args.ext)
+    if not ff.available():
         logging.warning(
             "ffmpeg not found; skipping video export (frames remain on disk)")
         return 0
 
-    COLOR_NAME = "color"
-    args = augment_args(args)
-    size = frame_size(pjoin(args.color_dir, args.frame_fmt))
+    args = _resolve_paths(args)
+    frame_ext = os.path.splitext(args.frame_fmt)[1]
+    n = count_frames(args.color_dir, frame_ext)
+    assert n > 0
+    sources = discover_depth_sources(args.depth_dirs, frame_ext, n)
+
+    color_fmt = pjoin(args.color_dir, args.frame_fmt)
+    size = probe_frame_size(color_fmt)
     os.makedirs(args.out_dir, exist_ok=True)
 
-    color_video_prefix = pjoin(args.out_dir, COLOR_NAME)
-    make_video(args.ffmpeg, pjoin(args.color_dir, args.frame_fmt),
-               color_video_prefix, ext=args.ext)
+    color_prefix = pjoin(args.out_dir, "color")
+    ff.encode(color_fmt, color_prefix)
 
-    depth_video_prefixes = [pjoin(args.out_dir, n) for n in args.depth_names]
-    for depth_dir, prefix in zip(args.depth_dirs, depth_video_prefixes):
-        make_depth_videos(
-            args.ffmpeg, pjoin(depth_dir, args.frame_fmt),
-            pjoin(args.color_dir, args.frame_fmt), prefix,
-            size=size, ext=args.ext)
-    if args.depth_dirs:
-        stack_videos(args.ffmpeg,
-                     [color_video_prefix] + depth_video_prefixes,
-                     args.out_dir, size=size, ext=args.ext)
-        overlay_video_prefixes = []
-        for pre in depth_video_prefixes:
-            overlay_video_prefixes.extend([pre, pre + "-overlay"])
-        stack_videos(args.ffmpeg, overlay_video_prefixes, args.out_dir,
-                     size=size, ext=args.ext)
+    depth_prefixes = []
+    for name, depth_dir in sources:
+        prefix = pjoin(args.out_dir, name)
+        depth_prefixes.append(prefix)
+        _export_depth_source(
+            ff, pjoin(depth_dir, args.frame_fmt), color_fmt, prefix,
+            size, n)
+
+    if depth_prefixes:
+        ff.hstack([color_prefix] + depth_prefixes, args.out_dir, size=size)
+        with_overlays = [p for pre in depth_prefixes
+                         for p in (pre, pre + "-overlay")]
+        ff.hstack(with_overlays, args.out_dir, size=size)
     return 0
 
 

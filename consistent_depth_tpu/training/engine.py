@@ -60,6 +60,10 @@ def gather_batch(data: Dict[str, jnp.ndarray], idx: jnp.ndarray):
 class TrainingEngine:
     """Owns the compiled train/eval/infer steps for one backbone."""
 
+    # static capacity of the per-epoch depth-capture buffer (one slot
+    # per display-freq TensorBoard image-grid event)
+    CAPTURE_SLOTS = 8
+
     def __init__(
         self,
         model: DepthModel,
@@ -91,7 +95,9 @@ class TrainingEngine:
         self._train_step = self._compile(self._train_step_impl, donate=True)
         self._eval_step = self._compile(self._eval_step_impl, donate=False)
         self._train_epoch = self._compile(
-            self._train_epoch_impl, donate=True, batch_rank=2)
+            self._train_epoch_impl, donate=True, batch_rank=2, n_repl_extra=1)
+        self._eval_epoch = self._compile(
+            self._eval_epoch_impl, donate=False, batch_rank=2)
         self._infer = None
 
     # ------------------------------------------------------------------
@@ -122,7 +128,8 @@ class TrainingEngine:
         return {k: put(v) for k, v in data.items() if v is not None}
 
     # ------------------------------------------------------------------
-    def _compile(self, fn: Callable, donate: bool, batch_rank: int = 1):
+    def _compile(self, fn: Callable, donate: bool, batch_rank: int = 1,
+                 n_repl_extra: int = 0):
         if self.mesh is None:
             return jax.jit(fn, donate_argnums=(0,) if donate else ())
         repl = NamedSharding(self.mesh, P())
@@ -132,7 +139,8 @@ class TrainingEngine:
         batch_s = NamedSharding(self.mesh, spec)
         return jax.jit(
             fn,
-            in_shardings=(repl, repl, batch_s, batch_s),
+            in_shardings=(repl, repl, batch_s, batch_s)
+            + (repl,) * n_repl_extra,
             out_shardings=(repl, repl) if donate else repl,
             donate_argnums=(0,) if donate else (),
         )
@@ -160,8 +168,12 @@ class TrainingEngine:
         return loss, (batch_losses, new_stats, depth)
 
     def _train_step_impl(self, state: TrainState, data, idx, valid):
+        new_state, metrics, _ = self._train_core(state, data, idx, valid)
+        return new_state, metrics
+
+    def _train_core(self, state: TrainState, data, idx, valid):
         batch = gather_batch(data, idx)
-        (loss, (batch_losses, new_stats, _)), grads = jax.value_and_grad(
+        (loss, (batch_losses, new_stats, depth)), grads = jax.value_and_grad(
             self._loss, has_aux=True
         )(state.params, state.batch_stats, batch, valid, True)
 
@@ -187,22 +199,85 @@ class TrainingEngine:
             step=state.step + 1,
         )
         metrics = {"loss": loss, "skipped_nan": ~ok, **batch_losses}
-        return new_state, metrics
+        return new_state, metrics, depth
 
-    def _train_epoch_impl(self, state: TrainState, data, idx, valid):
+    def _train_epoch_impl(self, state: TrainState, data, idx, valid,
+                          capture_slot):
         """A whole epoch as one lax.scan over steps — removes per-step
         dispatch latency and host round-trips entirely.
 
         Args:
             idx, valid: (steps, batch)
+            capture_slot: (steps,) int32; where >= 0, the step's
+                predicted depths are stored into slot ``capture_slot[s]``
+                of the returned ``captured_depth`` buffer. This is how
+                display-frequency TensorBoard image grids get the
+                *training* forward's prediction without paying an extra
+                eval forward (reference logs the train prediction too,
+                depth_fine_tuning.py:290-293). Capacity is the static
+                ``CAPTURE_SLOTS``; slots beyond it are dropped.
         """
-        def body(state, step_inputs):
-            step_idx, step_valid = step_inputs
-            new_state, metrics = self._train_step_impl(
-                state, data, step_idx, step_valid)
-            return new_state, metrics
+        n_cap = self.CAPTURE_SLOTS
 
-        return jax.lax.scan(body, state, (idx, valid))
+        def body(carry, step_inputs):
+            state, cap = carry
+            step_idx, step_valid, slot = step_inputs
+            new_state, metrics, depth = self._train_core(
+                state, data, step_idx, step_valid)
+            j = jnp.clip(slot, 0, cap.shape[0] - 1)
+            hit = (slot >= 0) & (slot < cap.shape[0])
+            cap = cap.at[j].set(
+                jnp.where(hit, depth.astype(cap.dtype), cap[j]))
+            return (new_state, cap), metrics
+
+        B = idx.shape[1]
+        H, W = data["frames"].shape[1:3]
+        cap0 = jnp.zeros((n_cap, B, 2, H, W), jnp.float32)
+        (state, cap), metrics = jax.lax.scan(
+            body, (state, cap0), (idx, valid, capture_slot))
+        metrics["captured_depth"] = cap
+        return state, metrics
+
+    def _eval_epoch_impl(self, state: TrainState, data, idx, valid):
+        """The eval pass as one lax.scan device program (TPU redesign of
+        the reference's per-pair host loop, depth_fine_tuning.py:312-406).
+
+        Per-frame depths are scattered into a single (num_frames, H, W)
+        buffer on device with the reference's first-seen-wins semantics,
+        so the host fetches each frame's depth exactly once instead of
+        once per pair side.
+        """
+        n_frames, H, W = data["frames"].shape[:3]
+        buf0 = jnp.zeros((n_frames, H, W), jnp.float32)
+        seen0 = jnp.zeros((n_frames,), jnp.bool_)
+
+        def body(carry, step_inputs):
+            state, buf, seen = carry
+            step_idx, step_valid = step_inputs
+            new_state, m = self._eval_step_impl(
+                state, data, step_idx, step_valid)
+            depth = m.pop("depth")                      # (B, 2, H, W)
+            flat = depth.astype(jnp.float32).reshape((-1, H, W))
+            slots = data["pair_slots"][step_idx].reshape(-1)
+            ok = jnp.repeat(step_valid > 0, 2)
+
+            def write(i, bs):
+                b, s = bs
+                t = slots[i]
+                take = ok[i] & ~s[t]
+                b = b.at[t].set(jnp.where(take, flat[i], b[t]))
+                s = s.at[t].set(s[t] | ok[i])
+                return b, s
+
+            buf, seen = jax.lax.fori_loop(
+                0, flat.shape[0], write, (buf, seen))
+            return (new_state, buf, seen), m
+
+        (state, buf, seen), metrics = jax.lax.scan(
+            body, (state, buf0, seen0), (idx, valid))
+        metrics["depth_frames"] = buf
+        metrics["frames_seen"] = seen
+        return state, metrics
 
     def _eval_step_impl(self, state: TrainState, data, idx, valid):
         """Validation pass: train-mode BN with running-stat updates but
@@ -221,19 +296,38 @@ class TrainingEngine:
     def train_step(self, state, data, idx, valid):
         return self._train_step(state, data, jnp.asarray(idx), jnp.asarray(valid))
 
-    def train_epoch(self, state, data, idx, valid):
+    def train_epoch(self, state, data, idx, valid, capture_slot=None):
         """Run all steps of an epoch in one device program.
 
         Args:
             idx, valid: (steps, batch) arrays
+            capture_slot: optional (steps,) int32, -1 = no capture (see
+                ``_train_epoch_impl``)
         Returns:
-            (state, metrics stacked over steps)
+            (state, metrics stacked over steps; ``captured_depth`` holds
+            the requested steps' training predictions)
         """
+        idx = jnp.asarray(idx)
+        if capture_slot is None:
+            capture_slot = jnp.full((idx.shape[0],), -1, jnp.int32)
         return self._train_epoch(
-            state, data, jnp.asarray(idx), jnp.asarray(valid))
+            state, data, idx, jnp.asarray(valid),
+            jnp.asarray(capture_slot, jnp.int32))
 
     def eval_step(self, state, data, idx, valid):
         return self._eval_step(state, data, jnp.asarray(idx), jnp.asarray(valid))
+
+    def eval_epoch(self, state, data, idx, valid):
+        """Run the whole eval pass in one device program.
+
+        Args:
+            idx, valid: (steps, batch) arrays
+        Returns:
+            (state, metrics) where metrics carries per-step losses plus
+            ``depth_frames`` (num_frames, H, W) / ``frames_seen``.
+        """
+        return self._eval_epoch(
+            state, data, jnp.asarray(idx), jnp.asarray(valid))
 
     def infer(self, state: TrainState, images: jnp.ndarray,
               scales: Optional[jnp.ndarray] = None) -> jnp.ndarray:

@@ -246,8 +246,21 @@ class DepthFineTuner:
             steps = list(it.epoch(epoch))
             idx_mat = np.stack([s[0] for s in steps])
             valid_mat = np.stack([s[1] for s in steps])
+
+            # precompute which steps hit display_freq so their training
+            # predictions are captured in-program (no extra forward)
+            capture_slot = np.full(len(steps), -1, np.int32)
+            if writer is not None:
+                running, slot = total_iters, 0
+                for s, (_, valid) in enumerate(steps):
+                    running += int(valid.sum())
+                    if (running % self.params.display_freq == 0
+                            and slot < self.engine.CAPTURE_SLOTS):
+                        capture_slot[s] = slot
+                        slot += 1
+
             self.state, metrics = self.engine.train_epoch(
-                self.state, dev_data, idx_mat, valid_mat)
+                self.state, dev_data, idx_mat, valid_mat, capture_slot)
             metrics = jax.device_get(metrics)
 
             for s, (idx, valid) in enumerate(steps):
@@ -265,9 +278,11 @@ class DepthFineTuner:
                          for k in ("reprojection", "disparity")
                          if k in metrics},
                         total_iters)
-                if (writer is not None
-                        and total_iters % self.params.display_freq == 0):
-                    self._write_summary(writer, dev_data, idx, total_iters)
+                if (writer is not None and capture_slot[s] >= 0):
+                    self._write_summary(
+                        writer, dev_data, idx,
+                        metrics["captured_depth"][capture_slot[s]],
+                        total_iters)
 
             epoch_duration = time.perf_counter() - epoch_start_time
             print(f"Epoch {epoch} took {epoch_duration:.2f}s.")
@@ -290,19 +305,18 @@ class DepthFineTuner:
             validate(self.params.num_epochs, total_iters)
         print("Finished Training")
 
-    def _write_summary(self, writer, dev_data, idx, n_iter):
+    def _write_summary(self, writer, dev_data, idx, depth, n_iter):
         """Image grids of inputs / predicted disparity / masks
-        (reference: depth_fine_tuning.py:93-114)."""
+        (reference: depth_fine_tuning.py:93-114). ``depth`` is the
+        training forward's prediction captured inside the epoch scan —
+        no extra forward is paid here."""
         from .engine import gather_batch
 
         batch = jax.device_get(gather_batch(dev_data, np.asarray(idx)))
         imgs = batch["images"].reshape((-1,) + batch["images"].shape[2:])
         writer.add_image(
             "Train/image", make_image_grid(imgs, normalize=True), n_iter)
-        _, em = self.engine.eval_step(
-            self.state, dev_data, np.asarray(idx),
-            np.ones(len(idx), np.float32))
-        inv_depth = 1.0 / np.asarray(jax.device_get(em["depth"]))
+        inv_depth = 1.0 / np.asarray(depth)
         writer.add_image(
             "Train/pred_full",
             make_image_grid(
@@ -318,54 +332,53 @@ class DepthFineTuner:
     # ------------------------------------------------------------------
     def eval_and_save(self, dev_data, data, suf: str) -> Dict[str, np.ndarray]:
         """Full-dataset eval pass: per-pair loss JSON + first-seen depth
-        dumps (reference: depth_fine_tuning.py:312-406)."""
+        dumps (reference: depth_fine_tuning.py:312-406).
+
+        TPU redesign: the whole pass is ONE lax.scan device program
+        (``engine.eval_epoch``); per-frame depths come back in a single
+        deduplicated (num_frames, H, W) buffer, so the host fetches each
+        frame once instead of once per pair side."""
         N = data.num_pairs
         B = self.params.batch_size
-        loss_dict: Dict[str, Dict[str, float]] = {}
-        saved_frames = set()
-        max_frame_index = 0
-        all_pairs: List[List[int]] = []
         eval_dir = pjoin(self.out_dir, "eval")
 
-        order = np.arange(N, dtype=np.int32)
-        for start in range(0, N, B):
-            idx = order[start:start + B]
-            valid = np.ones(len(idx), np.float32)
-            if len(idx) < B:
-                pad = B - len(idx)
-                idx = np.concatenate([idx, np.zeros(pad, np.int32)])
-                valid = np.concatenate([valid, np.zeros(pad, np.float32)])
-            self.state, metrics = self.engine.eval_step(
-                self.state, dev_data, idx, valid)
-            metrics = jax.device_get(metrics)
+        S = (N + B - 1) // B
+        idx = np.zeros((S, B), np.int32)
+        valid = np.zeros((S, B), np.float32)
+        flat = np.arange(S * B)
+        idx.reshape(-1)[:] = np.minimum(flat, N - 1)
+        valid.reshape(-1)[flat < N] = 1.0
 
-            n_valid = int(valid.sum())
-            batch_indices = np.asarray(metrics["pair_ids"])[:n_valid].tolist()
-            max_frame_index = max(
-                max_frame_index, max(max(p) for p in batch_indices))
-            all_pairs += batch_indices
+        self.state, metrics = self.engine.eval_epoch(
+            self.state, dev_data, idx, valid)
+        metrics = jax.device_get(metrics)
 
-            for name in ("reprojection", "disparity"):
-                losses = np.asarray(metrics[name])[:n_valid]
-                loss_dict.setdefault(name, {})
-                for pair, value in zip(batch_indices, losses):
-                    loss_dict[name][str(list(pair))] = float(value)
+        all_pairs: List[List[int]] = data.pair_ids[:N].tolist()
+        max_frame_index = int(data.pair_ids.max())
+        loss_dict: Dict[str, Dict[str, float]] = {}
+        for name in ("reprojection", "disparity"):
+            losses = np.asarray(metrics[name]).reshape(-1)[:N]
+            loss_dict[name] = {
+                str(list(pair)): float(value)
+                for pair, value in zip(all_pairs, losses)
+            }
 
-            inv_depths_batch = 1.0 / np.asarray(metrics["depth"])[:n_valid]
-            if self.vis_depth_scale is None:
-                self.vis_depth_scale = float(inv_depths_batch.max())
-            for inv_depths, pair in zip(inv_depths_batch, batch_indices):
-                for inv_depth, index in zip(inv_depths, pair):
-                    if index in saved_frames:
-                        continue
-                    saved_frames.add(index)
-                    fn_pre = pjoin(eval_dir, f"depth_{index:06d}{suf}")
-                    image_io.save_raw_float32_image(fn_pre + ".raw", inv_depth)
-                    import cv2
+        inv_frames = 1.0 / np.asarray(metrics["depth_frames"])
+        seen = np.asarray(metrics["frames_seen"])
+        if self.vis_depth_scale is None:
+            # fixed visualization range from the first batch, like the
+            # reference (depth_fine_tuning.py:352-354)
+            first_slots = np.unique(data.pair_slots[idx[0], :].reshape(-1))
+            self.vis_depth_scale = float(inv_frames[first_slots].max())
+        import cv2
 
-                    vis = visualization.visualize_depth(
-                        inv_depth, depth_min=0, depth_max=self.vis_depth_scale)
-                    cv2.imwrite(fn_pre + ".png", vis)
+        for slot in np.nonzero(seen)[0]:
+            index = int(data.frame_ids[slot])
+            fn_pre = pjoin(eval_dir, f"depth_{index:06d}{suf}")
+            image_io.save_raw_float32_image(fn_pre + ".raw", inv_frames[slot])
+            vis = visualization.visualize_depth(
+                inv_frames[slot], depth_min=0, depth_max=self.vis_depth_scale)
+            cv2.imwrite(fn_pre + ".png", vis)
 
         loss_meta = {
             name: np.array(list(values.values()))

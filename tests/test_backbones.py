@@ -8,6 +8,8 @@ import jax.numpy as jnp
 
 from consistent_depth_tpu.models import torch_import
 
+pytestmark = pytest.mark.slow  # compile-heavy
+
 
 def _norm_rel(a, b):
     return float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12))

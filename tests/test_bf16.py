@@ -11,6 +11,9 @@ from consistent_depth_tpu.models import layers
 from consistent_depth_tpu.models.mannequin_challenge import MannequinChallengeModel
 from consistent_depth_tpu.ops.losses import LossWeights
 from consistent_depth_tpu.training import TrainingEngine, create_optimizer
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy
 
 
 def test_bf16_close_to_f32_and_trains():

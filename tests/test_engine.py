@@ -14,6 +14,8 @@ from consistent_depth_tpu.ops.losses import LossWeights, consistency_loss
 from consistent_depth_tpu.parallel import make_mesh
 from consistent_depth_tpu.training import TrainingEngine, create_optimizer
 
+pytestmark = pytest.mark.slow  # compile-heavy
+
 
 @pytest.fixture(scope="module")
 def scene():

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 from consistent_depth_tpu.models import torch_import
 from consistent_depth_tpu.models.hourglass import HourglassModel
 
+pytestmark = pytest.mark.slow  # compile-heavy
+
 
 @pytest.fixture(scope="module")
 def twin_and_flax():

@@ -61,3 +61,42 @@ def test_native_error_codes(tmp_path):
                     + b"\x04" + b"\x00" * 7)
     with pytest.raises(ValueError):
         native.load_raw(str(bad))
+
+
+def test_batched_dataset_loaders_match_per_file(tmp_path):
+    """load_color_batch / load_flow_batch / load_mask_batch must equal
+    the per-file loaders regardless of the native fast path."""
+    import cv2
+    import numpy as np
+
+    from consistent_depth_tpu.data import video_dataset as vd
+    from consistent_depth_tpu.io import image_io
+
+    rng = np.random.default_rng(0)
+    H, W, N = 6, 8, 5
+    color_paths, flow_paths, mask_paths = [], [], []
+    for i in range(N):
+        c = rng.random((H, W, 3)).astype(np.float32)
+        f = rng.standard_normal((H, W, 2)).astype(np.float32)
+        m = (rng.random((H, W)) > 0.5).astype(np.uint8) * 255
+        cp = str(tmp_path / f"c{i}.raw")
+        fp = str(tmp_path / f"f{i}.raw")
+        mp = str(tmp_path / f"m{i}.png")
+        image_io.save_raw_float32_image(cp, c)
+        image_io.save_raw_float32_image(fp, f)
+        cv2.imwrite(mp, m)
+        color_paths.append(cp)
+        flow_paths.append(fp)
+        mask_paths.append(mp)
+
+    got_c = vd.load_color_batch(color_paths)
+    ref_c = np.stack([vd.load_color(p) for p in color_paths])
+    np.testing.assert_array_equal(got_c, ref_c)
+
+    got_f = vd.load_flow_batch(flow_paths, H, W)
+    ref_f = np.stack([vd.load_flow(p) for p in flow_paths])
+    np.testing.assert_array_equal(got_f, ref_f)
+
+    got_m = vd.load_mask_batch(mask_paths)
+    ref_m = np.stack([vd.load_mask(p) for p in mask_paths])
+    np.testing.assert_array_equal(got_m, ref_m)

@@ -14,6 +14,8 @@ import pytest
 import synthetic
 from consistent_depth_tpu.io import image_io, metadata_io
 
+pytestmark = pytest.mark.slow  # compile-heavy
+
 
 @pytest.fixture(scope="module")
 def dataset(tmp_path_factory):

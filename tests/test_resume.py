@@ -11,6 +11,8 @@ import pytest
 
 import synthetic
 
+pytestmark = pytest.mark.slow  # compile-heavy
+
 
 def _params(path, epochs):
     return argparse.Namespace(

@@ -1,0 +1,83 @@
+"""Space-to-depth conv path: exact-parity vs the native XLA conv.
+
+The s2d reformulation (models/layers.py) must be numerically equivalent
+(up to fp reassociation) in forward AND backward, for every kernel size
+used by the hourglass (3/5/7/11) at both s factors.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from consistent_depth_tpu.models import layers
+
+
+@pytest.mark.parametrize("k", [3, 5, 7, 11])
+@pytest.mark.parametrize("s", [2, 4])
+def test_s2d_kernel_transform_exact(k, s):
+    rng = np.random.default_rng(k * 10 + s)
+    Ci, Co = 5, 3
+    H, W = 24, 32
+    w = jnp.asarray(rng.standard_normal((k, k, Ci, Co)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, H, W, Ci)), jnp.float32)
+    p = (k - 1) // 2
+
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(p, p), (p, p)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    w2, kk, pad = layers.s2d_kernel(w, s)
+    y2 = jax.lax.conv_general_dilated(
+        layers.space_to_depth(x, s), w2, (1, 1),
+        [(pad, kk - 1 - pad)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = layers.depth_to_space(y2, s)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_torchconv_s2d_policy_engages_and_matches():
+    """At production-like spatial size the policy must pick s2d, and the
+    module output/gradients must match the native path."""
+    H, W, Ci, k, Co = 112, 192, 8, 7, 4
+    assert layers._s2d_factor(H, W, Ci, k, Co) > 0
+    # small spatial extents must never engage
+    assert layers._s2d_factor(56, 96, 64, 7, 16) == 0
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, H, W, Ci)) * 0.5, jnp.float32)
+    mod = layers.conv(Co, k, padding=(k - 1) // 2)
+    params = mod.init(jax.random.PRNGKey(0), x)
+
+    def run(enabled):
+        layers.set_s2d_enabled(enabled)
+        try:
+            def f(p, x):
+                return jnp.sum(jnp.sin(mod.apply(p, x)))
+            val, grads = jax.value_and_grad(f, argnums=(0, 1))(params, x)
+            return val, grads
+        finally:
+            layers.set_s2d_enabled(True)
+
+    v_ref, g_ref = run(False)
+    v_s2d, g_s2d = run(True)
+    np.testing.assert_allclose(float(v_s2d), float(v_ref), rtol=1e-5)
+    flat_ref = jax.tree_util.tree_leaves(g_ref)
+    flat_s2d = jax.tree_util.tree_leaves(g_s2d)
+    for a, b in zip(flat_s2d, flat_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+
+def test_torchconv_strided_path_unchanged():
+    """Strided/asymmetric configs must take the native path and match a
+    reference torch conv semantics check (zero padding)."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 3)), jnp.float32)
+    mod = layers.conv(6, 3, stride=2, padding=1)
+    params = mod.init(jax.random.PRNGKey(1), x)
+    y = mod.apply(params, x)
+    assert y.shape == (1, 8, 8, 6)

@@ -8,6 +8,9 @@ import synthetic
 from consistent_depth_tpu.models.mannequin_challenge import MannequinChallengeModel
 from consistent_depth_tpu.ops.losses import LossWeights
 from consistent_depth_tpu.training import TrainingEngine, create_optimizer
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy
 
 
 def test_epoch_scan_matches_sequential_steps():

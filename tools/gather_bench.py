@@ -1,0 +1,148 @@
+"""Measure bilinear-sample formulations on the real chip.
+
+The consistency loss spends ~30 ms fwd / ~19 ms bwd in grid_sample
+gathers (tools/step_profile.py). Candidates:
+
+  4gather : current — 4 independent flat jnp.take per corner
+  slice22 : ONE lax.gather fetching a (2, 2) window per index; border
+            handled by clamping x0<=W-2/y0<=H-2 and letting the
+            bilinear weights zero the out-of-range corner
+  rowpair : 2 gathers of (1, 2) windows (x pairs), rows separate
+
+Each is checked for exactness against the current sampler first.
+"""
+
+import functools
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+from consistent_depth_tpu.ops.resample import bilinear_sample_pixels
+
+
+def slope_timed(fn, args, iters=10):
+    def make(n):
+        @jax.jit
+        def loop(*args):
+            def body(c, _):
+                out = fn(*[a * (1.0 + 1e-30 * c) if a.dtype == jnp.float32
+                           else a for a in args])
+                return jnp.asarray(jnp.mean(out), jnp.float32), None
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+            return c
+        return loop
+    lo, hi = make(iters), make(3 * iters)
+    np.asarray(jax.device_get(lo(*args)))
+    np.asarray(jax.device_get(hi(*args)))
+    t0 = time.perf_counter()
+    np.asarray(jax.device_get(lo(*args)))
+    t1 = time.perf_counter()
+    np.asarray(jax.device_get(hi(*args)))
+    t2 = time.perf_counter()
+    return max((t2 - t1) - (t1 - t0), 1e-9) / (2 * iters)
+
+
+# --- formulations -----------------------------------------------------------
+
+def sample_4gather(data, x, y):
+    return bilinear_sample_pixels(data, x, y)
+
+
+def _weights_and_base(x, y, H, W):
+    x = jnp.clip(x, 0.0, W - 1.0)
+    y = jnp.clip(y, 0.0, H - 1.0)
+    x0 = jnp.clip(jnp.nan_to_num(jnp.floor(x)), 0, W - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.nan_to_num(jnp.floor(y)), 0, H - 2).astype(jnp.int32)
+    wx = x - x0  # in [0, 1]; 1 at the right border (left corner weight 0)
+    wy = y - y0
+    return x0, y0, wx, wy
+
+
+def sample_slice22(data, x, y):
+    """One gather of (2, 2, C) windows per target pixel."""
+    H, W, C = data.shape
+    x0, y0, wx, wy = _weights_and_base(x, y, H, W)
+    idx = jnp.stack([y0.reshape(-1), x0.reshape(-1)], axis=-1)  # (N, 2)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
+    win = jax.lax.gather(
+        data, idx, dn, slice_sizes=(2, 2, C),
+        mode=jax.lax.GatherScatterMode.CLIP)          # (N, 2, 2, C)
+    win = win.reshape(x.shape + (2, 2, C))
+    wx = wx[..., None]
+    wy = wy[..., None]
+    top = win[..., 0, 0, :] * (1 - wx) + win[..., 0, 1, :] * wx
+    bot = win[..., 1, 0, :] * (1 - wx) + win[..., 1, 1, :] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def sample_rowpair(data, x, y):
+    """Two gathers of flat (2,) spans (top and bottom row x-pairs)."""
+    H, W, C = data.shape
+    x0, y0, wx, wy = _weights_and_base(x, y, H, W)
+    flat = data.reshape(H * W, C)
+    base = (y0 * W + x0).reshape(-1, 1)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
+    g = functools.partial(
+        jax.lax.gather, flat, dimension_numbers=dn, slice_sizes=(2, C),
+        mode=jax.lax.GatherScatterMode.CLIP)
+    top = g(base).reshape(x.shape + (2, C))
+    bot = g(base + W).reshape(x.shape + (2, C))
+    wx = wx[..., None]
+    wy = wy[..., None]
+    t = top[..., 0, :] * (1 - wx) + top[..., 1, :] * wx
+    b = bot[..., 0, :] * (1 - wx) + bot[..., 1, :] * wx
+    return t * (1 - wy) + b * wy
+
+
+def main():
+    rng = np.random.default_rng(0)
+    B, H, W = 8, 224, 384   # both directions of a 4-pair batch
+    data = jnp.asarray(rng.random((B, H, W, 1)), jnp.float32)
+    x = jnp.asarray(rng.random((B, H, W)) * (W + 20) - 10, jnp.float32)
+    y = jnp.asarray(rng.random((B, H, W)) * (H + 20) - 10, jnp.float32)
+
+    variants = {
+        "4gather": sample_4gather,
+        "slice22": sample_slice22,
+        "rowpair": sample_rowpair,
+    }
+    vm = {k: jax.vmap(v) for k, v in variants.items()}
+
+    ref = np.asarray(jax.device_get(vm["4gather"](data, x, y)))
+    for name, fn in vm.items():
+        got = np.asarray(jax.device_get(fn(data, x, y)))
+        err = float(np.max(np.abs(got - ref)))
+        ok = err < 1e-5
+        t_fwd = slope_timed(fn, (data, x, y))
+
+        def loss(d, xx, yy, fn=fn):
+            return jnp.sum(fn(d, xx, yy) ** 2)
+        grad_fn = jax.grad(loss, argnums=(0, 1, 2))
+
+        def fwd_bwd(d, xx, yy):
+            g = grad_fn(d, xx, yy)
+            return g[0].sum() + g[1].sum() + g[2].sum()
+        t_bwd = slope_timed(fwd_bwd, (data, x, y))
+        print(json.dumps({
+            "variant": name, "max_err": err, "ok": ok,
+            "fwd_ms": round(t_fwd * 1e3, 2),
+            "fwd_bwd_ms": round(t_bwd * 1e3, 2),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
