@@ -31,6 +31,7 @@ import time
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 END_TO_END_BASELINE_SECONDS = 37 * 60.0   # reference demo (README.md:43)
 FINE_TUNE_BASELINE_SECONDS = 1920.0       # see module docstring
@@ -73,6 +74,62 @@ def make_workload(n_pairs_cap=None):
             (P, 2, 1, 1)),
     }
     return data, P
+
+
+def traced_matmul_flops(fn, *args) -> float:
+    """Sum executed conv/dot FLOPs in ``fn``'s jaxpr (recursing into
+    scan/pjit/custom-vjp sub-jaxprs; scan bodies scaled by trip count)."""
+    import jax.numpy as jnp  # noqa: F401
+    from jax import core as jcore  # noqa: F401
+
+    closed = jax.make_jaxpr(fn)(*args)
+
+    def conv_eqn_flops(eqn) -> float:
+        out = eqn.outvars[0].aval.shape
+        if eqn.primitive.name == "conv_general_dilated":
+            rhs = eqn.invars[1].aval.shape
+            dn = eqn.params["dimension_numbers"]
+            # contraction = kernel spatial * C_in (rhs spec: kh kw ci co
+            # for HWIO; use all dims except the output-feature one)
+            co_dim = dn.rhs_spec[0]
+            contraction = 1
+            for i, d in enumerate(rhs):
+                if i != co_dim:
+                    contraction *= d
+            n_out = 1
+            for d in out:
+                n_out *= d
+            return 2.0 * n_out * contraction
+        if eqn.primitive.name in ("dot_general",):
+            lhs = eqn.invars[0].aval.shape
+            (lc, _), _ = eqn.params["dimension_numbers"]
+            contraction = 1
+            for d in lc:
+                contraction *= lhs[d]
+            n_out = 1
+            for d in out:
+                n_out *= d
+            return 2.0 * n_out * contraction
+        return 0.0
+
+    def walk(jaxpr) -> float:
+        total = 0.0
+        for eqn in jaxpr.eqns:
+            total += conv_eqn_flops(eqn)
+            mult = eqn.params.get("length", 1) \
+                if eqn.primitive.name == "scan" else 1
+            for v in eqn.params.values():
+                inner = getattr(v, "jaxpr", None)
+                if inner is not None:
+                    total += mult * walk(inner)
+                elif isinstance(v, (list, tuple)):
+                    for w in v:
+                        inner = getattr(w, "jaxpr", None)
+                        if inner is not None:
+                            total += mult * walk(inner)
+        return total
+
+    return walk(closed.jaxpr)
 
 
 def main():
@@ -141,18 +198,16 @@ def main():
 
     projected = EPOCHS * epoch_s + (EPOCHS + 1) * eval_epoch_s
 
-    # achieved FLOPS / MFU from the compiled epoch program's own cost
-    # analysis (forward + backward + optimizer, the whole hot program)
+    # achieved FLOPS / MFU from an exact jaxpr walk (the axon platform's
+    # compiled cost_analysis reports garbage): counts every executed
+    # conv/dot flop in the train-epoch program, including the
+    # structured-zero inflation of the space-to-depth kernels
     try:
-        cost = (
-            engine._train_epoch
-            .lower(state, dev_data, idx_mat, valid_mat,
-                   np.full(steps_per_epoch, -1, np.int32))
-            .compile().cost_analysis())
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        epoch_flops = float(cost.get("flops", 0.0))
-    except Exception:  # pragma: no cover - cost analysis unavailable
+        epoch_flops = traced_matmul_flops(
+            lambda s, d, i, v, c: engine._train_epoch_impl(s, d, i, v, c),
+            state, dev_data, jnp.asarray(idx_mat), jnp.asarray(valid_mat),
+            jnp.full((steps_per_epoch,), -1, jnp.int32))
+    except Exception:  # pragma: no cover
         epoch_flops = 0.0
     achieved_tflops = epoch_flops / epoch_s / 1e12 if epoch_flops else None
     mfu = (epoch_flops / epoch_s / (n_chips * V5E_PEAK_BF16_FLOPS)

@@ -146,3 +146,49 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def sample_packed(data, x, y):
+    """ONE gather: operand (H*W, 2C) where channel block 1 is the
+    W-shifted copy (next row); a flat (2,)-span fetch then returns all
+    four bilinear corners per index."""
+    H, W, C = data.shape
+    x0, y0, wx, wy = _weights_and_base(x, y, H, W)
+    flat = data.reshape(H * W, C)
+    shifted = jnp.concatenate([flat[W:], flat[:W]], axis=0)  # row y+1
+    packed = jnp.concatenate([flat, shifted], axis=-1)       # (HW, 2C)
+    base = (y0 * W + x0).reshape(-1, 1)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
+    win = jax.lax.gather(
+        packed, base, dn, slice_sizes=(2, 2 * C),
+        mode=jax.lax.GatherScatterMode.CLIP)   # (N, 2, 2C)
+    win = win.reshape(x.shape + (2, 2, C))     # (..., dx, [top,bot], C)
+    wx = wx[..., None]
+    wy = wy[..., None]
+    top = win[..., 0, 0, :] * (1 - wx) + win[..., 1, 0, :] * wx
+    bot = win[..., 0, 1, :] * (1 - wx) + win[..., 1, 1, :] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def sample_take4ch(data, x, y):
+    """ONE jnp.take (element gather, the only crash-safe gather form on
+    this runtime): operand (H*W, 4C) holding [self, +1, +W, +W+1]
+    rolled copies, so a single index fetches all four bilinear corners."""
+    H, W, C = data.shape
+    x0, y0, wx, wy = _weights_and_base(x, y, H, W)
+    flat = data.reshape(H * W, C)
+
+    def roll_up(a, k):
+        return jnp.concatenate([a[k:], a[:k]], axis=0)
+
+    packed = jnp.concatenate(
+        [flat, roll_up(flat, 1), roll_up(flat, W), roll_up(flat, W + 1)],
+        axis=-1)                                   # (HW, 4C)
+    idx = (y0 * W + x0).reshape(-1)
+    win = jnp.take(packed, idx, axis=0).reshape(x.shape + (4, C))
+    wx = wx[..., None]
+    wy = wy[..., None]
+    top = win[..., 0, :] * (1 - wx) + win[..., 1, :] * wx
+    bot = win[..., 2, :] * (1 - wx) + win[..., 3, :] * wx
+    return top * (1 - wy) + bot * wy

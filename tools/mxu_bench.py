@@ -23,6 +23,11 @@ import functools
 import json
 import time
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -234,4 +239,75 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "--bwd" not in _sys.argv:
+        main()
+
+
+def bwd_main():
+    """fwd+bwd per conv shape: is the s2d backward (dgrad/wgrad) as
+    efficient as its forward? Usage: python tools/mxu_bench.py --bwd"""
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bwd", action="store_true")
+    ap.add_argument("--iters", type=int, default=10)
+    args, _ = ap.parse_known_args()
+
+    B = 8
+    shapes = [
+        ("stem7", 224, 384, 3, 7, 128),
+        ("A.mid", 224, 384, 128, 1, 64),
+        ("A.7", 224, 384, 64, 7, 16),
+        ("A.11", 224, 384, 64, 11, 16),
+        ("B.mid", 112, 192, 128, 1, 32),
+        ("B.5", 112, 192, 32, 5, 32),
+        ("B.7", 112, 192, 32, 7, 32),
+        ("BC.7", 112, 192, 64, 7, 32),
+        ("BC.11", 112, 192, 64, 11, 32),
+    ]
+    rng = np.random.default_rng(0)
+    dt = jnp.bfloat16
+    for tag, H, W, C_in, k, C_out in shapes:
+        x = jnp.asarray(rng.standard_normal((B, H, W, C_in)), dt)
+        w_np = (rng.standard_normal((k, k, C_in, C_out)) * 0.05).astype(
+            np.float32)
+        w = jnp.asarray(w_np, dt)
+        flops = 3 * 2.0 * B * H * W * k * k * C_in * C_out  # fwd+dgrad+wgrad
+
+        res = {}
+
+        def run(conv_fn, w_in):
+            def fb(wv, xv):
+                def f(wv, xv):
+                    return jnp.sum(conv_fn(wv, xv).astype(jnp.float32))
+                gw, gx = jax.grad(f, argnums=(0, 1))(wv, xv)
+                return jnp.sum(gw.astype(jnp.float32)) + jnp.sum(
+                    gx.astype(jnp.float32))
+            return timed(fb, w_in, x, args.iters)
+
+        res["xla"] = run(conv_xla, w)
+        if k > 1 and C_out <= 128:
+            from consistent_depth_tpu.models import layers as L
+
+            s = L._s2d_factor(H, W, C_in, k, C_out)
+            if s:
+                def conv_s2d_model(wv, xv, s=s):
+                    w2, kk, pad = L.s2d_kernel(wv, s)
+                    y = jax.lax.conv_general_dilated(
+                        L.space_to_depth(xv, s), w2, (1, 1),
+                        [(pad, kk - 1 - pad)] * 2,
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    return L.depth_to_space(y, s)
+                res[f"s2d{s}"] = run(conv_s2d_model, w)
+        print(json.dumps({
+            "conv": tag,
+            **{m: round(v * 1e6, 1) for m, v in res.items()},
+            "tflops": {m: round(flops / v / 1e12, 1)
+                       for m, v in res.items()},
+        }), flush=True)
+
+
+if __name__ == "__main__" and "--bwd" in _sys.argv:
+    bwd_main()

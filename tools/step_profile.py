@@ -111,7 +111,10 @@ def main():
         def f(p):
             out, _ = model.apply(variables(p), images, train=True)
             return jnp.mean(out)
-        return jnp.mean(jax.tree_util.tree_leaves(jax.grad(f)(p))[0])
+        # consume EVERY grad leaf or XLA dead-code-eliminates most of
+        # the backward (sum of sums = global use of the whole cotangent)
+        return sum(jnp.sum(g)
+                   for g in jax.tree_util.tree_leaves(jax.grad(f)(p)))
     report("fwd_bwd", slope_timed(lambda n: chain(fwd_bwd, n)))
 
     # 4. loss chain alone (no network: depth given)
