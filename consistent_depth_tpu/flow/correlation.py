@@ -52,28 +52,32 @@ def correlation(
 
 
 def _corr_kernel(f1_ref, f2_hbm_ref, out_ref, *, r, stride, block_h):
-    """One (block_h, W) row-band per program. The f1 band is staged by
-    the BlockSpec pipeline; the overlapping f2 band (vertical halo of
-    max_displacement rows each side) is DMA'd from HBM explicitly."""
+    """One (block_h, W) row-band of one batch element per program. The
+    f1 band is staged by the BlockSpec pipeline; the overlapping f2 band
+    (vertical halo of max_displacement rows each side) is DMA'd from HBM
+    explicitly (overlapping blocks can't be expressed as BlockSpecs)."""
     d = r * stride
-    i = pl.program_id(0)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
 
     def body(f2_vmem, sem):
         dma = pltpu.make_async_copy(
-            f2_hbm_ref.at[pl.ds(i * block_h, block_h + 2 * d)],
+            f2_hbm_ref.at[b, pl.ds(i * block_h, block_h + 2 * d)],
             f2_vmem, sem)
         dma.start()
-        f1 = f1_ref[:]                  # (bh, W, C)
+        f1 = f1_ref[0]                  # (bh, W, C)
         dma.wait()
-        f2 = f2_vmem[:]                 # (bh + 2d, W + 2d, C)
         C = f1.shape[-1]
         inv_c = 1.0 / C
         bh, W = f1.shape[0], f1.shape[1]
+        # displacements are static -> plain ref slices (dynamic_slice is
+        # not lowerable in Pallas TPU)
         for iy, dy in enumerate(range(-r, r + 1)):
+            oy = d + dy * stride
             for ix, dx in enumerate(range(-r, r + 1)):
-                win = jax.lax.dynamic_slice(
-                    f2, (d + dy * stride, d + dx * stride, 0), (bh, W, C))
-                out_ref[:, :, iy * (2 * r + 1) + ix] = (
+                ox = d + dx * stride
+                win = f2_vmem[oy:oy + bh, ox:ox + W, :]
+                out_ref[0, :, :, iy * (2 * r + 1) + ix] = (
                     jnp.sum(f1 * win, axis=-1) * inv_c)
 
     pl.run_scoped(
@@ -97,7 +101,10 @@ def correlation_pallas(
     block_h: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Pallas cost volume (same contract as :func:`correlation`)."""
+    """Pallas cost volume (same contract as :func:`correlation`).
+
+    The batch rides the grid's leading axis (vmapping a pallas_call with
+    an ANY-space operand is not lowerable on TPU)."""
     B, H, W, C = f1.shape
     r = max_displacement // stride
     d = max_displacement
@@ -106,25 +113,22 @@ def correlation_pallas(
 
     f2p = jnp.pad(f2, ((0, 0), (d, d), (d, d), (0, 0)))
 
-    def run_one(f1b, f2b):
-        return pl.pallas_call(
-            functools.partial(
-                _corr_kernel, r=r, stride=stride, block_h=block_h),
-            grid=(H // block_h,),
-            in_specs=[
-                pl.BlockSpec(
-                    (block_h, W, C), lambda i: (i, 0, 0),
-                    memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM
-            ],
-            out_specs=pl.BlockSpec(
-                (block_h, W, D * D), lambda i: (i, 0, 0),
+    return pl.pallas_call(
+        functools.partial(
+            _corr_kernel, r=r, stride=stride, block_h=block_h),
+        grid=(B, H // block_h),
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_h, W, C), lambda b, i: (b, i, 0, 0),
                 memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((H, W, D * D), f1.dtype),
-            interpret=interpret,
-        )(f1b, f2b)
-
-    return jax.vmap(run_one)(f1, f2p)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_h, W, D * D), lambda b, i: (b, i, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, D * D), f1.dtype),
+        interpret=interpret,
+    )(f1, f2p)
 
 
 def correlation_auto(

@@ -144,6 +144,15 @@ class HourglassModel(nn.Module):
         y = TorchBatchNorm(affine=True, name="seq_1")(y, train)
         y = nn.relu(y)
         y = Channels4(name="seq_3")(y, train)
-        pred = conv(1, 3, padding=1, name="pred_layer")(y)
-        conf = nn.sigmoid(conv(1, 3, padding=1, name="uncertainty_layer_0")(y))
+        # both heads in ONE conv (C_out=1 convs waste 127/128 MXU lanes;
+        # parameters keep their torch names via ConvParams)
+        from .layers import ConvParams, conv_compute
+
+        wp, bp = ConvParams(1, (3, 3), 64, name="pred_layer")()
+        wu, bu = ConvParams(1, (3, 3), 64, name="uncertainty_layer_0")()
+        heads = conv_compute(
+            jnp.concatenate([wp, wu], axis=-1),
+            jnp.concatenate([bp, bu], axis=-1), y, padding=1)
+        pred = heads[..., 0:1]
+        conf = nn.sigmoid(heads[..., 1:2])
         return pred, conf

@@ -186,6 +186,62 @@ def _s2d_factor(H: int, W: int, C_in: int, k: int, C_out: int) -> int:
     return best_s
 
 
+def conv_compute(kernel, bias, x, stride: int = 1, padding: int = 0,
+                 dilation: int = 1):
+    """The conv execution path shared by :class:`TorchConv` and fused
+    call sites (e.g. the hourglass's merged prediction heads): casts to
+    the compute dtype and picks the space-to-depth fast path when the
+    measured policy says so."""
+    k = kernel.shape[0]
+    dt = _COMPUTE_DTYPE or x.dtype
+    x = x.astype(dt)
+    w = kernel.astype(dt)
+
+    s = 0
+    if (stride == 1 and dilation == 1
+            and kernel.shape[0] == kernel.shape[1]
+            and padding == (k - 1) // 2 and x.ndim == 4):
+        s = _s2d_factor(x.shape[1], x.shape[2], x.shape[-1], k,
+                        kernel.shape[-1])
+
+    if s:
+        w2, kk, pad = s2d_kernel(w, s)
+        y = jax.lax.conv_general_dilated(
+            space_to_depth(x, s), w2, (1, 1),
+            [(pad, kk - 1 - pad), (pad, kk - 1 - pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = depth_to_space(y, s)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, w, (stride, stride), [(padding, padding)] * 2,
+            rhs_dilation=(dilation, dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        y = y + bias.astype(dt)
+    return y
+
+
+class ConvParams(nn.Module):
+    """Parameter-only twin of :class:`TorchConv` (identical tree:
+    "kernel" HWIO + "bias"), for call sites that fuse several convs'
+    compute while keeping checkpoint-compatible parameter naming."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    in_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size[0], self.kernel_size[1],
+             self.in_features, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        return kernel, bias
+
+
 class TorchConv(nn.Module):
     """torch ``nn.Conv2d`` twin (explicit symmetric zero padding) with a
     space-to-depth fast path for MXU-hostile shapes. Parameter names and
@@ -212,32 +268,9 @@ class TorchConv(nn.Module):
             self.param("bias", nn.initializers.zeros, (self.features,))
             if self.use_bias else None
         )
-        dt = _COMPUTE_DTYPE or x.dtype
-        x = x.astype(dt)
-        w = kernel.astype(dt)
-
-        s = 0
-        if (self.stride == 1 and self.dilation == 1
-                and self.kernel_size[0] == self.kernel_size[1]
-                and self.padding == (k - 1) // 2 and x.ndim == 4):
-            s = _s2d_factor(x.shape[1], x.shape[2], C_in, k, self.features)
-
-        if s:
-            w2, kk, pad = s2d_kernel(w, s)
-            y = jax.lax.conv_general_dilated(
-                space_to_depth(x, s), w2, (1, 1),
-                [(pad, kk - 1 - pad), (pad, kk - 1 - pad)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            y = depth_to_space(y, s)
-        else:
-            y = jax.lax.conv_general_dilated(
-                x, w, (self.stride, self.stride),
-                [(self.padding, self.padding)] * 2,
-                rhs_dilation=(self.dilation, self.dilation),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        if bias is not None:
-            y = y + bias.astype(dt)
-        return y
+        return conv_compute(
+            kernel, bias, x, stride=self.stride, padding=self.padding,
+            dilation=self.dilation)
 
 
 def conv(
