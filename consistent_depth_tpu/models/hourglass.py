@@ -46,26 +46,51 @@ _G = ((32,), (3, 32, 32), (5, 32, 32), (7, 32, 32))  # on 256-ch input
 
 class Inception(nn.Module):
     """Inception block: concat of a 1x1 branch and (1x1 -> kxk) branches,
-    each conv followed by affine-free BN + ReLU."""
+    each conv followed by affine-free BN + ReLU.
+
+    All four leading 1x1 convs read the same input, so their compute is
+    fused into ONE conv with C_out = base + 3*mid (112-256 lanes vs
+    16-64 — separate C_out=16/32 matmuls idle most of the MXU), and
+    likewise their BNs and the three output BNs (per-channel statistics
+    commute with channel concat — exact, see fused_batch_norm).
+    Parameters/batch-stats keep their torch-twin names and shapes via
+    ConvParams/BatchNormStats, so checkpoint import is unaffected."""
 
     config: Tuple[Tuple[int, ...], ...]
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        outs = []
-        # branch 0: 1x1
-        y = conv(self.config[0][0], 1, name="convs_0_0")(x)
-        y = TorchBatchNorm(affine=False, name="convs_0_1")(y, train)
-        outs.append(nn.relu(y))
-        # branches 1..: 1x1 -> kxk
-        for bi, (k, mid, out) in enumerate(self.config[1:], start=1):
-            y = conv(mid, 1, name=f"convs_{bi}_0")(x)
-            y = TorchBatchNorm(affine=False, name=f"convs_{bi}_1")(y, train)
-            y = nn.relu(y)
-            y = conv(out, k, padding=(k - 1) // 2, name=f"convs_{bi}_3")(y)
-            y = TorchBatchNorm(affine=False, name=f"convs_{bi}_4")(y, train)
-            outs.append(nn.relu(y))
-        return jnp.concatenate(outs, axis=-1)
+        from .layers import (BatchNormStats, ConvParams, conv_compute,
+                             fused_batch_norm)
+
+        base = self.config[0][0]
+        branches = self.config[1:]
+        C_in = x.shape[-1]
+
+        front = [ConvParams(base, (1, 1), C_in, name="convs_0_0")()]
+        front += [ConvParams(mid, (1, 1), C_in, name=f"convs_{bi}_0")()
+                  for bi, (k, mid, out) in enumerate(branches, start=1)]
+        y = conv_compute(
+            jnp.concatenate([w for w, _ in front], axis=-1),
+            jnp.concatenate([b for _, b in front], axis=-1), x)
+        stats = [BatchNormStats(base, name="convs_0_1")()]
+        stats += [BatchNormStats(mid, name=f"convs_{bi}_1")()
+                  for bi, (k, mid, out) in enumerate(branches, start=1)]
+        y = nn.relu(
+            fused_batch_norm(y, stats, train, self.is_initializing()))
+
+        kouts, off = [], base
+        for bi, (k, mid, out) in enumerate(branches, start=1):
+            kouts.append(
+                conv(out, k, padding=(k - 1) // 2, name=f"convs_{bi}_3")(
+                    y[..., off:off + mid]))
+            off += mid
+        z = jnp.concatenate(kouts, axis=-1)
+        stats2 = [BatchNormStats(out, name=f"convs_{bi}_4")()
+                  for bi, (k, mid, out) in enumerate(branches, start=1)]
+        z = nn.relu(
+            fused_batch_norm(z, stats2, train, self.is_initializing()))
+        return jnp.concatenate([y[..., :base], z], axis=-1)
 
 
 # Optional: rematerialize inception blocks in the backward pass (cuts

@@ -242,6 +242,58 @@ class ConvParams(nn.Module):
         return kernel, bias
 
 
+class BatchNormStats(nn.Module):
+    """batch_stats-only twin of :class:`TorchBatchNorm` (affine-free):
+    declares the same "mean"/"var" running-stat variables and returns
+    them, for call sites that fuse several BNs' compute over
+    channel-concatenated features."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32))
+        return ra_mean, ra_var
+
+
+def fused_batch_norm(x, stats, train: bool, initializing: bool,
+                     momentum: float = 0.1, eps: float = 1e-5):
+    """Affine-free torch BatchNorm over channel-concatenated features
+    whose running stats live in several :class:`BatchNormStats` modules.
+
+    Per-channel statistics commute with channel concatenation, so one
+    fused normalization (one reduction pass over the big tensor instead
+    of one per branch) is exactly the per-slice torch computation.
+    ``stats`` is the list of (ra_mean, ra_var) variable pairs in channel
+    order; running stats are updated slice-wise in train mode."""
+    if train:
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(0, 1, 2))
+        mean_sq = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
+        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        unbiased = var * (n / max(n - 1, 1))
+        if not initializing:
+            off = 0
+            for ra_mean, ra_var in stats:
+                c = ra_mean.value.shape[0]
+                ra_mean.value = ((1 - momentum) * ra_mean.value
+                                 + momentum * mean[off:off + c])
+                ra_var.value = ((1 - momentum) * ra_var.value
+                                + momentum * unbiased[off:off + c])
+                off += c
+    else:
+        mean = jnp.concatenate([m.value for m, _ in stats])
+        var = jnp.concatenate([v.value for _, v in stats])
+    return (x - mean.astype(x.dtype)) * jax.lax.rsqrt(
+        var.astype(x.dtype) + jnp.asarray(eps, x.dtype))
+
+
 class TorchConv(nn.Module):
     """torch ``nn.Conv2d`` twin (explicit symmetric zero padding) with a
     space-to-depth fast path for MXU-hostile shapes. Parameter names and
