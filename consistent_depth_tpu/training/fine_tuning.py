@@ -172,6 +172,16 @@ class DepthFineTuner:
         dataset = VideoFrameDataset(color_fmt, frames)
         os.makedirs(depth_dir, exist_ok=True)
 
+        def flush(pending):
+            depth, ids = pending
+            depth = np.asarray(jax.device_get(depth))[:, 0]
+            for d, frame_id in zip(depth, ids):
+                image_io.save_raw_float32_image(
+                    depth_fmt.format(frame_id) + ".raw", 1.0 / d)
+
+        # dispatch-ahead: batch k+1's host load + device infer overlap
+        # batch k's result fetch and .raw writes
+        pending = None
         for start in range(0, len(dataset), batch_size):
             indices = list(range(start, min(start + batch_size, len(dataset))))
             images, ids = dataset.load_batch(indices)
@@ -181,10 +191,11 @@ class DepthFineTuner:
                     [images, np.repeat(images[-1:], pad, axis=0)])
             depth = self.engine.infer(
                 self.state, np.asarray(images)[:, None])  # (B, 1, H, W)
-            depth = np.asarray(jax.device_get(depth))[:, 0]
-            for d, frame_id in zip(depth, ids):
-                image_io.save_raw_float32_image(
-                    depth_fmt.format(frame_id) + ".raw", 1.0 / d)
+            if pending is not None:
+                flush(pending)
+            pending = (depth, ids)
+        if pending is not None:
+            flush(pending)
 
         visualization.visualize_depth_dir(depth_dir, depth_dir, force=True)
 
@@ -209,13 +220,22 @@ class DepthFineTuner:
         def suffix(epoch, niters):
             return "_e{:04d}_iter{:06d}".format(epoch, niters)
 
-        def validate(epoch, niters):
-            loss_meta = self.eval_and_save(
-                dev_data, data, suffix(epoch, niters))
-            if writer is not None:
-                log_loss_stats(
-                    writer, "validation", loss_meta, epoch, log_histogram=True)
-            print(f"Done Validation for epoch {epoch} ({niters} iterations)")
+        def dispatch_validate(epoch, niters):
+            """Enqueue the eval program now; return the host-side
+            processing closure to run later (overlapped with the next
+            epoch's device compute)."""
+            metrics, idx = self.dispatch_eval(dev_data, data)
+
+            def process():
+                loss_meta = self.process_eval(
+                    metrics, idx, data, suffix(epoch, niters))
+                if writer is not None:
+                    log_loss_stats(
+                        writer, "validation", loss_meta, epoch,
+                        log_histogram=True)
+                print(f"Done Validation for epoch {epoch} "
+                      f"({niters} iterations)")
+            return process
 
         start_epoch = 0
         if getattr(self.params, "resume", False):
@@ -229,15 +249,32 @@ class DepthFineTuner:
                     print(f"Resumed from {latest[0]} (epoch {start_epoch}).")
 
         self.vis_depth_scale = None
-        if start_epoch == 0:
-            validate(0, 0)
+
+        # Host/device pipelining: each epoch's train (+eval) programs
+        # are DISPATCHED before the previous epoch's host work (metric
+        # fetches, prints, TB events, eval artifact writes, checkpoint
+        # export) runs, so the ~50 MB/eval transfers and file IO hide
+        # under the next epoch's device compute. ``pending`` holds the
+        # deferred host closures; at most one epoch stays in flight.
+        pending: List = []
+
+        def run_pending(limit: int):
+            while len(pending) > limit:
+                pending.pop(0)()
 
         it = PairBatchIterator(
             num_pairs, B, shuffle=True, seed=getattr(self.params, "seed", 0))
         total_iters = start_epoch * it.steps_per_epoch() * B
         profile_dir = getattr(self.params, "profile_dir", None)
+        # profiling wants clean per-epoch traces: no overlap
+        in_flight = 0 if profile_dir else 1
+
+        if start_epoch == 0:
+            pending.append(dispatch_validate(0, 0))
+
         for epoch in range(start_epoch, self.params.num_epochs):
             if profile_dir and epoch == start_epoch:
+                run_pending(0)
                 jax.profiler.start_trace(profile_dir)
             epoch_start_time = time.perf_counter()
 
@@ -261,48 +298,78 @@ class DepthFineTuner:
 
             self.state, metrics = self.engine.train_epoch(
                 self.state, dev_data, idx_mat, valid_mat, capture_slot)
-            metrics = jax.device_get(metrics)
 
-            for s, (idx, valid) in enumerate(steps):
-                loss = float(metrics["loss"][s])
-                pairs = data.pair_ids[idx[valid > 0]].tolist()
-                print(f"Epoch = {epoch}, pairs = {pairs}, loss = {loss}")
-                if metrics["skipped_nan"][s]:
-                    print("Loss is NaN. Skipping.")
+            # the iteration counter advances deterministically, so the
+            # whole epoch's host bookkeeping can be computed at dispatch
+            # time and its value-dependent parts deferred
+            iters_at = []
+            for _, valid in steps:
                 total_iters += int(valid.sum())
-                if writer is not None and total_iters % self.params.print_freq == 0:
-                    writer.add_scalar("Train/loss", loss, total_iters)
-                    log_loss_stats(
-                        writer, "Train/loss",
-                        {k: np.asarray(metrics[k][s])
-                         for k in ("reprojection", "disparity")
-                         if k in metrics},
-                        total_iters)
-                if (writer is not None and capture_slot[s] >= 0):
-                    self._write_summary(
-                        writer, dev_data, idx,
-                        metrics["captured_depth"][capture_slot[s]],
-                        total_iters)
+                iters_at.append(total_iters)
 
-            epoch_duration = time.perf_counter() - epoch_start_time
-            print(f"Epoch {epoch} took {epoch_duration:.2f}s.")
+            val_proc = (
+                dispatch_validate(epoch + 1, total_iters)
+                if (epoch + 1) % self.params.val_epoch_freq == 0 else None)
+            ckpt_state = (
+                self.state
+                if (epoch + 1) % self.params.save_epoch_freq == 0 else None)
+
+            def process(epoch=epoch, metrics=metrics, steps=steps,
+                        capture_slot=capture_slot, iters_at=iters_at,
+                        val_proc=val_proc, ckpt_state=ckpt_state,
+                        t0=epoch_start_time):
+                # fetch everything except the display-freq depth-capture
+                # buffer (22 MB at demo size — sliced per used slot)
+                small = jax.device_get(
+                    {k: v for k, v in metrics.items()
+                     if k != "captured_depth"})
+                for s, (idx, valid) in enumerate(steps):
+                    loss = float(small["loss"][s])
+                    pairs = data.pair_ids[idx[valid > 0]].tolist()
+                    print(f"Epoch = {epoch}, pairs = {pairs}, loss = {loss}")
+                    if small["skipped_nan"][s]:
+                        print("Loss is NaN. Skipping.")
+                    n_iter = iters_at[s]
+                    if writer is not None and n_iter % self.params.print_freq == 0:
+                        writer.add_scalar("Train/loss", loss, n_iter)
+                        log_loss_stats(
+                            writer, "Train/loss",
+                            {k: np.asarray(small[k][s])
+                             for k in ("reprojection", "disparity")
+                             if k in small},
+                            n_iter)
+                    if writer is not None and capture_slot[s] >= 0:
+                        self._write_summary(
+                            writer, dev_data, idx,
+                            jax.device_get(
+                                metrics["captured_depth"][capture_slot[s]]),
+                            n_iter)
+                print(f"Epoch {epoch} took "
+                      f"{time.perf_counter() - t0:.2f}s.")
+                if val_proc is not None:
+                    val_proc()
+                if ckpt_state is not None:
+                    self.save_checkpoint(
+                        pjoin(self.checkpoints_dir, f"{epoch + 1:04d}.pth"),
+                        state=ckpt_state)
+                    if getattr(self.params, "resume", False):
+                        from . import checkpoints as ckpt
+
+                        ckpt.save_full_state(
+                            pjoin(self.checkpoints_dir,
+                                  f"full_{epoch + 1:04d}"),
+                            ckpt_state, epoch + 1)
+
+            pending.append(process)
+            run_pending(in_flight)
+
             if profile_dir and epoch == start_epoch:
+                run_pending(0)
                 jax.profiler.stop_trace()
 
-            if (epoch + 1) % self.params.val_epoch_freq == 0:
-                validate(epoch + 1, total_iters)
-            if (epoch + 1) % self.params.save_epoch_freq == 0:
-                self.save_checkpoint(
-                    pjoin(self.checkpoints_dir, f"{epoch + 1:04d}.pth"))
-                if getattr(self.params, "resume", False):
-                    from . import checkpoints as ckpt
-
-                    ckpt.save_full_state(
-                        pjoin(self.checkpoints_dir, f"full_{epoch + 1:04d}"),
-                        self.state, epoch + 1)
-
+        run_pending(0)
         if self.params.num_epochs % self.params.val_epoch_freq != 0:
-            validate(self.params.num_epochs, total_iters)
+            dispatch_validate(self.params.num_epochs, total_iters)()
         print("Finished Training")
 
     def _write_summary(self, writer, dev_data, idx, depth, n_iter):
@@ -338,10 +405,17 @@ class DepthFineTuner:
         (``engine.eval_epoch``); per-frame depths come back in a single
         deduplicated (num_frames, H, W) buffer, so the host fetches each
         frame once instead of once per pair side."""
+        metrics, idx = self.dispatch_eval(dev_data, data)
+        return self.process_eval(metrics, idx, data, suf)
+
+    def dispatch_eval(self, dev_data, data):
+        """Enqueue the eval-epoch device program (non-blocking). The
+        returned metrics are device futures; pair with
+        :meth:`process_eval` — splitting the two lets the caller overlap
+        the ~50 MB artifact fetch + host writes with the next training
+        epoch's compute."""
         N = data.num_pairs
         B = self.params.batch_size
-        eval_dir = pjoin(self.out_dir, "eval")
-
         S = (N + B - 1) // B
         idx = np.zeros((S, B), np.int32)
         valid = np.zeros((S, B), np.float32)
@@ -351,6 +425,13 @@ class DepthFineTuner:
 
         self.state, metrics = self.engine.eval_epoch(
             self.state, dev_data, idx, valid)
+        return metrics, idx
+
+    def process_eval(self, metrics, idx, data, suf: str) -> Dict[str, np.ndarray]:
+        """Fetch a dispatched eval's metrics and write the loss JSON,
+        depth .raw/.png dumps, and console table."""
+        N = data.num_pairs
+        eval_dir = pjoin(self.out_dir, "eval")
         metrics = jax.device_get(metrics)
 
         all_pairs: List[List[int]] = data.pair_ids[:N].tolist()
@@ -411,9 +492,11 @@ class DepthFineTuner:
             for name in loss_names))
 
     # ------------------------------------------------------------------
-    def save_checkpoint(self, file_name: str):
+    def save_checkpoint(self, file_name: str, state=None):
         from ..models import torch_import
 
         torch_import.save_torch_checkpoint(
             file_name,
-            jax.device_get(self.engine.variables_of(self.state)))
+            jax.device_get(
+                self.engine.variables_of(
+                    self.state if state is None else state)))
