@@ -120,22 +120,84 @@ def _bilinear_fast_fwd(data, x, y):
     return out, (win, idx, wx, wy, x, y, data.shape)
 
 
+# The scatter-add backward runs at TPU's per-element scatter rate
+# (~7-10 ns each => ~19 ms/step for the loss workload). The bilinear
+# splat weight is SEPARABLE (w = y-part * x-part), so the whole
+# scatter-add factorizes into a dense one-hot matmul per plane:
+#     d[y, x] = sum_p A[p, k, y] * B[p, x]   (+ a one-column shift)
+# with A the ct*y-part two-hot (x-parts folded as k=2 channels) and B
+# the EXACT 0/1 one-hot of x0 — contraction over all P sample points
+# rides the MXU at full depth. ~30 GFLOP/plane beats 344k scatters by
+# ~4x measured. One-hot 0/1 entries are exact in bf16; the weighted
+# factor is bf16-rounded (~0.4% per contribution), consistent with the
+# bf16 model gradients — so the path is gated to bf16 production mode
+# (engine sets it) and f32/parity runs keep the exact scatter.
+
+_SPLAT_MATMUL = False
+
+
+def set_splat_enabled(flag: bool) -> None:
+    """Toggle the matmul-splat backward (engine enables it under bf16)."""
+    global _SPLAT_MATMUL
+    _SPLAT_MATMUL = bool(flag)
+
+
+def _splat_bwd_matmul(ct, idx, wx, wy, H: int, W: int):
+    """d_data (H, W, 1) from cotangent ct (..., 1) via the separable
+    one-hot matmul splat. Requires the _corner_coords convention
+    (y0 <= H-2, x0 <= W-2), so every corner lands in range."""
+    P = idx.size
+    f = ct.dtype
+    ctf = ct.reshape(P)
+    idxf = idx.reshape(P)
+    y0 = idxf // W
+    x0 = idxf - y0 * W
+    wyf = wy.reshape(P).astype(f)
+    wxf = wx.reshape(P).astype(f)
+    a0 = ctf * (1 - wyf)          # value at row y0
+    a1 = ctf * wyf                # value at row y0 + 1
+
+    iy = jax.lax.broadcasted_iota(jnp.int32, (P, H), 1)
+
+    def two_hot(v0, v1):
+        return (jnp.where(iy == y0[:, None], v0[:, None], jnp.zeros((), f))
+                + jnp.where(iy == y0[:, None] + 1, v1[:, None],
+                            jnp.zeros((), f)))
+
+    # k channels carry the x-interpolation parts: k=0 -> (1-wx) at
+    # column x0, k=1 -> wx at column x0+1 (applied as a shift below)
+    A = jnp.stack(
+        [two_hot(a0 * (1 - wxf), a1 * (1 - wxf)),
+         two_hot(a0 * wxf, a1 * wxf)], axis=1).astype(jnp.bfloat16)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (P, W), 1)
+    Bx = (ix == x0[:, None]).astype(jnp.bfloat16)     # exact 0/1
+    out = jnp.einsum("pky,px->kyx", A, Bx,
+                     preferred_element_type=jnp.float32)
+    d = out[0] + jnp.concatenate(
+        [jnp.zeros((H, 1), out.dtype), out[1, :, :-1]], axis=1)
+    return d.astype(ct.dtype).reshape(H, W, 1)
+
+
 def _bilinear_fast_bwd(res, ct):
     win, idx, wx, wy, x, y, shape = res
     H, W, C = shape
     wxc = wx[..., None]
     wyc = wy[..., None]
-    w00 = (1 - wxc) * (1 - wyc)
-    w01 = wxc * (1 - wyc)
-    w10 = (1 - wxc) * wyc
-    w11 = wxc * wyc
 
-    flat_ct = jnp.zeros((H * W, C), ct.dtype)
-    idxf = idx.reshape(-1)
-    for off, w in ((0, w00), (1, w01), (W, w10), (W + 1, w11)):
-        flat_ct = flat_ct.at[idxf + off].add(
-            (ct * w).reshape(-1, C), mode="drop")
-    d_data = flat_ct.reshape(H, W, C)
+    if _SPLAT_MATMUL and C == 1:
+        d_data = _splat_bwd_matmul(ct, idx, wx, wy, H, W)
+    else:
+        w00 = (1 - wxc) * (1 - wyc)
+        w01 = wxc * (1 - wyc)
+        w10 = (1 - wxc) * wyc
+        w11 = wxc * wyc
+
+        flat_ct = jnp.zeros((H * W, C), ct.dtype)
+        idxf = idx.reshape(-1)
+        for off, w in ((0, w00), (1, w01), (W, w10), (W + 1, w11)):
+            flat_ct = flat_ct.at[idxf + off].add(
+                (ct * w).reshape(-1, C), mode="drop")
+        d_data = flat_ct.reshape(H, W, C)
 
     # position gradients from the fetched corner values; the border
     # clip contributes zero gradient outside [0, size-1] (matching the

@@ -78,9 +78,13 @@ class TrainingEngine:
         # both cases: the policy is process-global and must not leak
         # from a previously constructed engine.
         from ..models import layers
+        from ..ops import resample
 
         layers.set_compute_dtype(
             jnp.bfloat16 if precision == "bf16" else None)
+        # matmul-splat loss backward rides the same precision policy
+        # (exact scatter in f32/parity mode — see ops/resample.py)
+        resample.set_splat_enabled(precision == "bf16")
         self.model = model
         self.optimizer = optimizer
         self.weights = weights

@@ -70,3 +70,27 @@ def test_tiny_image_fallback():
     ref = np.asarray(
         resample.bilinear_sample_pixels_reference(data, x, y))
     np.testing.assert_allclose(out, ref)
+
+
+def test_splat_matmul_backward_matches_scatter():
+    """The bf16 matmul-splat d_data backward (production path under the
+    engine's bf16 policy) must match the exact scatter backward to
+    bf16-contribution tolerance, including border-clamped points."""
+    rng = np.random.default_rng(5)
+    H, W = 20, 24
+    data = jnp.asarray(rng.random((H, W, 1)), jnp.float32)
+    x = jnp.asarray(rng.random((13, 17)) * (W + 6) - 3, jnp.float32)
+    y = jnp.asarray(rng.random((13, 17)) * (H + 6) - 3, jnp.float32)
+
+    def loss(d):
+        return jnp.sum(jnp.sin(resample.bilinear_sample_pixels(d, x, y)) * 1.7)
+
+    g_scatter = np.asarray(jax.grad(loss)(data))
+    try:
+        resample.set_splat_enabled(True)
+        g_splat = np.asarray(jax.grad(loss)(data))
+    finally:
+        resample.set_splat_enabled(False)
+    np.testing.assert_allclose(g_splat, g_scatter, rtol=2e-2, atol=2e-3)
+    # sanity: the gradient is not degenerate
+    assert np.abs(g_scatter).max() > 0.1
