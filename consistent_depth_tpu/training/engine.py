@@ -236,7 +236,12 @@ class TrainingEngine:
 
         B = idx.shape[1]
         H, W = data["frames"].shape[1:3]
-        cap0 = jnp.zeros((n_cap, B, 2, H, W), jnp.float32)
+        # TB image grids only — f16 halves the fetch under bf16
+        from ..models.layers import compute_dtype
+
+        cap_dt = (jnp.float16 if compute_dtype() == jnp.bfloat16
+                  else jnp.float32)
+        cap0 = jnp.zeros((n_cap, B, 2, H, W), cap_dt)
         (state, cap), metrics = jax.lax.scan(
             body, (state, cap0), (idx, valid, capture_slot))
         metrics["captured_depth"] = cap
@@ -252,7 +257,14 @@ class TrainingEngine:
         once per pair side.
         """
         n_frames, H, W = data["frames"].shape[:3]
-        buf0 = jnp.zeros((n_frames, H, W), jnp.float32)
+        # under the bf16 policy the predictions carry ~4e-3 relative
+        # compute noise, so the host-bound depth buffer travels as f16
+        # (1e-3 mantissa, half the tunnel bytes); f32 runs keep f32
+        from ..models.layers import compute_dtype
+
+        buf_dt = (jnp.float16 if compute_dtype() == jnp.bfloat16
+                  else jnp.float32)
+        buf0 = jnp.zeros((n_frames, H, W), buf_dt)
         seen0 = jnp.zeros((n_frames,), jnp.bool_)
 
         def body(carry, step_inputs):
@@ -261,7 +273,7 @@ class TrainingEngine:
             new_state, m = self._eval_step_impl(
                 state, data, step_idx, step_valid)
             depth = m.pop("depth")                      # (B, 2, H, W)
-            flat = depth.astype(jnp.float32).reshape((-1, H, W))
+            flat = depth.astype(buf_dt).reshape((-1, H, W))
             slots = data["pair_slots"][step_idx].reshape(-1)
             ok = jnp.repeat(step_valid > 0, 2)
 

@@ -383,7 +383,7 @@ class DepthFineTuner:
         imgs = batch["images"].reshape((-1,) + batch["images"].shape[2:])
         writer.add_image(
             "Train/image", make_image_grid(imgs, normalize=True), n_iter)
-        inv_depth = 1.0 / np.asarray(depth)
+        inv_depth = 1.0 / np.asarray(depth).astype(np.float32)
         writer.add_image(
             "Train/pred_full",
             make_image_grid(
@@ -444,7 +444,10 @@ class DepthFineTuner:
                 for pair, value in zip(all_pairs, losses)
             }
 
-        inv_frames = 1.0 / np.asarray(metrics["depth_frames"])
+        # f16 under the engine's bf16 policy (engine.eval_epoch); the
+        # .raw artifacts stay float32
+        inv_frames = 1.0 / np.asarray(
+            metrics["depth_frames"]).astype(np.float32)
         seen = np.asarray(metrics["frames_seen"])
         if self.vis_depth_scale is None:
             # fixed visualization range from the first batch, like the

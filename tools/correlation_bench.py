@@ -25,25 +25,29 @@ from consistent_depth_tpu.flow.correlation import (
 
 
 def timed(fn, a, b, iters=20):
-    @jax.jit
-    def loop(a, b):
-        def body(c, _):
-            y = fn(a * (1.0 + 1e-30 * c), b)
-            return jnp.mean(y).astype(jnp.float32), None
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
-        return c
+    """Slope timing: time loops of length n and 3n and divide the
+    difference by 2n — cancels the constant per-call RPC cost. (Two
+    runs of the SAME loop have zero slope, a bug a previous version of
+    this tool had.)"""
+    def make_loop(n):
+        @jax.jit
+        def loop(a, b):
+            def body(c, _):
+                y = fn(a * (1.0 + 1e-30 * c), b)
+                return jnp.mean(y).astype(jnp.float32), None
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+            return c
+        return loop
 
-    def once(n_loop):
-        np.asarray(jax.device_get(loop(a, b)))
-
-    np.asarray(jax.device_get(loop(a, b)))
+    lo, hi = make_loop(iters), make_loop(3 * iters)
+    np.asarray(jax.device_get(lo(a, b)))
+    np.asarray(jax.device_get(hi(a, b)))
     t0 = time.perf_counter()
-    np.asarray(jax.device_get(loop(a, b)))
+    np.asarray(jax.device_get(lo(a, b)))
     t1 = time.perf_counter()
-    np.asarray(jax.device_get(loop(a, b)))
-    np.asarray(jax.device_get(loop(a, b)))
+    np.asarray(jax.device_get(hi(a, b)))
     t2 = time.perf_counter()
-    return max((t2 - t1) / 2 - (t1 - t0), 1e-9) / iters
+    return max((t2 - t1) - (t1 - t0), 1e-9) / (2 * iters)
 
 
 def main():
