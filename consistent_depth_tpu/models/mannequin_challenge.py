@@ -28,8 +28,11 @@ class MannequinChallengeModel(DepthModel):
         return HourglassModel()
 
     def _init_variables(self, seed: int) -> FlaxVars:
-        return self.module.init(
-            jax.random.PRNGKey(seed), jnp.zeros((1, 16, 16, 3)), train=False)
+        # one jitted program: eager init pays a per-op compile+RPC on
+        # the tunneled TPU (~minutes for hundreds of tiny param ops)
+        return jax.jit(lambda rng: self.module.init(
+            rng, jnp.zeros((1, 16, 16, 3)), train=False))(
+                jax.random.PRNGKey(seed))
 
     def estimate_depth_pure(
         self, variables: FlaxVars, images: jnp.ndarray, train: bool

@@ -136,8 +136,10 @@ class MidasV2Model(DepthModel):
         return MidasNet()
 
     def _init_variables(self, seed: int) -> FlaxVars:
-        return self.module.init(
-            jax.random.PRNGKey(seed), jnp.zeros((1, 32, 32, 3)), train=False)
+        # jitted: see mannequin_challenge._init_variables
+        return jax.jit(lambda rng: self.module.init(
+            rng, jnp.zeros((1, 32, 32, 3)), train=False))(
+                jax.random.PRNGKey(seed))
 
     def _load_checkpoint(self, path: str, template: FlaxVars) -> FlaxVars:
         from . import torch_import

@@ -114,8 +114,10 @@ class Monodepth2Model(DepthModel):
         return Monodepth2Net()
 
     def _init_variables(self, seed: int) -> FlaxVars:
-        return self.module.init(
-            jax.random.PRNGKey(seed), jnp.zeros((1, 32, 32, 3)), train=False)
+        # jitted: see mannequin_challenge._init_variables
+        return jax.jit(lambda rng: self.module.init(
+            rng, jnp.zeros((1, 32, 32, 3)), train=False))(
+                jax.random.PRNGKey(seed))
 
     def _load_checkpoint(self, path: str, template: FlaxVars) -> FlaxVars:
         """The released checkpoint is a directory with encoder.pth

@@ -70,6 +70,56 @@ def compute_color(u: np.ndarray, v: np.ndarray) -> np.ndarray:
     return img
 
 
+def flow_to_image_jnp(flows):
+    """Batched device twin of :func:`flow_to_image`:
+    (B, H, W, 2) float32 -> (B, H, W, 3) uint8-valued float32 RGB.
+
+    Same Middlebury wheel and per-image max-radius normalization; wheel
+    lookups are single-element gathers per channel (slice gathers are
+    unsafe on this TPU runtime — see ops/resample.py NOTE). Built for
+    the flow-stage visualizer, which renders thousands of pairs in a
+    few device batches instead of a per-image float64 numpy loop."""
+    import jax.numpy as jnp
+
+    wheel = jnp.asarray(make_color_wheel(), jnp.float32)   # (55, 3)
+    ncols = wheel.shape[0]
+
+    u = flows[..., 0].astype(jnp.float32)
+    v = flows[..., 1].astype(jnp.float32)
+    unknown = (jnp.abs(u) > _UNKNOWN_FLOW_THRESH) | (
+        jnp.abs(v) > _UNKNOWN_FLOW_THRESH)
+    u = jnp.where(unknown, 0.0, u)
+    v = jnp.where(unknown, 0.0, v)
+
+    rad = jnp.sqrt(u * u + v * v)
+    maxrad = jnp.maximum(
+        -1.0, jnp.max(rad, axis=(1, 2), keepdims=True))    # per image
+    eps = float(np.finfo(np.float64).eps)
+    un = u / (maxrad + eps)
+    vn = v / (maxrad + eps)
+
+    nan_idx = jnp.isnan(un) | jnp.isnan(vn)
+    un = jnp.where(nan_idx, 0.0, un)
+    vn = jnp.where(nan_idx, 0.0, vn)
+    radn = jnp.sqrt(un * un + vn * vn)
+    a = jnp.arctan2(-vn, -un) / np.pi
+    fk = (a + 1) / 2 * (ncols - 1)
+    k0 = jnp.floor(fk).astype(jnp.int32)
+    k1 = (k0 + 1) % ncols
+    f = fk - k0
+
+    chans = []
+    for i in range(3):
+        wc = wheel[:, i] / 255.0                           # (55,)
+        col0 = jnp.take(wc, k0.reshape(-1)).reshape(k0.shape)
+        col1 = jnp.take(wc, k1.reshape(-1)).reshape(k1.shape)
+        col = (1 - f) * col0 + f * col1
+        col = jnp.where(radn <= 1, 1 - radn * (1 - col), col * 0.75)
+        chans.append(jnp.floor(255 * col * (1 - nan_idx)))
+    img = jnp.stack(chans, axis=-1)
+    return jnp.where(unknown[..., None], 0.0, img)
+
+
 def flow_to_image(flow: np.ndarray) -> np.ndarray:
     """(H, W, 2) flow -> (H, W, 3) uint8 RGB visualization."""
     u = flow[..., 0].astype(np.float64).copy()

@@ -20,20 +20,9 @@ import numpy as np
 from ..io import image_io
 from ..ops import consistency, flow_viz, geometry
 from ..ops.resample import sample_uv
-from ..utils import visualization
 from ..utils.helpers import mkdir_ifnotexists
 
 import jax.numpy as jnp
-
-
-def warp_by_flow(color: np.ndarray, flow: np.ndarray) -> np.ndarray:
-    """(H, W, C) color warped by (H, W, 2) flow
-    (reference: flow.py:23-33)."""
-    H, W = flow.shape[:2]
-    pixels = geometry.pixel_grid((H, W))
-    uv = pixels + jnp.asarray(flow)
-    warped = sample_uv(jnp.asarray(color)[None], uv[None])
-    return np.asarray(warped[0])
 
 
 class Flow:
@@ -177,9 +166,17 @@ class Flow:
         return flow_list_path
 
     # ------------------------------------------------------------------
-    def visualize_flow(self, warp: bool = False) -> None:
-        """(reference: flow.py:147-197)"""
+    def visualize_flow(self, warp: bool = False,
+                       batch_pairs: int = 16) -> None:
+        """(reference: flow.py:147-197 — a per-pair host loop there)
+
+        TPU redesign: wheel rendering, mask overlays, panel composition
+        and flow warps for a whole chunk of pairs run as ONE jitted
+        device program; the host only reads inputs and writes PNGs.
+        (The per-image float64 numpy loop took ~0.4 s/pair on this
+        1-core host — ~10 min for a demo-sized video.)"""
         import cv2
+        import jax
 
         flow_fmt = pjoin(self.path, "flow", "flow_{:06d}_{:06d}.raw")
         mask_fmt = pjoin(self.path, "mask", "mask_{:06d}_{:06d}.png")
@@ -191,42 +188,90 @@ class Flow:
         for fmt in (vis_fmt, warp_fmt):
             os.makedirs(os.path.dirname(fmt), exist_ok=True)
 
+        todo = []
         for flow_name in os.listdir(os.path.dirname(flow_fmt)):
             indices = sorted(
                 int(s) for s in os.path.splitext(flow_name)[0].split("_")[1:])
+            if indices in todo:
+                continue
             if os.path.isfile(vis_fmt.format(*indices)) and (
                 not warp or os.path.isfile(warp_fmt.format(*indices))
             ):
                 continue
-            pair_list = [indices, indices[::-1]]
-            flows = [
-                image_io.load_raw_float32_image(flow_fmt.format(*idxs))
-                for idxs in pair_list
-            ]
-            flow_ims = [flow_viz.flow_to_image(np.copy(f)) for f in flows]
-            colors = [
-                image_io.load_raw_float32_image(color_fmt.format(i)) * 255
-                for i in indices
-            ]
-            masks = [cv2.imread(mask_fmt.format(*idxs), 0)
-                     for idxs in pair_list]
+            todo.append(indices)
+        if not todo:
+            return
 
-            masked_colors = [
-                visualization.apply_mask(im, m)
-                for im, m in zip(colors, masks)]
-            masked_flows = [
-                visualization.apply_mask(im, m)
-                for im, m in zip(flow_ims, masks)]
+        @jax.jit
+        def render(flows, colors, masks):
+            # flows/colors/masks: (B, 2, H, W, {2,3,1}); colors 0..255
+            B, _, H, W = flows.shape[:4]
+            flow_ims = flow_viz.flow_to_image_jnp(
+                flows.reshape(B * 2, H, W, 2)).reshape(B, 2, H, W, 3)
+            green = jnp.asarray([0.0, 255.0, 0.0])
+            keep = masks > 0          # (B, 2, H, W, 1)
 
-            masked = np.hstack(masked_colors + masked_flows)
-            original = np.hstack(colors + flow_ims)
-            cv2.imwrite(vis_fmt.format(*indices),
-                        np.vstack((original, masked)))
+            def overlay(im, d):
+                return 0.7 * im + 0.3 * ((1 - keep[:, d]) * green)
 
-            if warp:
-                warped = [
-                    warp_by_flow(color, flow)
-                    for color, flow in zip(colors[::-1], flows)
-                ]
-                for idxs, im in zip(pair_list, warped):
-                    cv2.imwrite(warp_fmt.format(*idxs), im)
+            # panel layout matches the reference: top row originals,
+            # bottom row mask overlays; columns [color_i, color_j,
+            # flow_ij, flow_ji]; mask_ij applies to color_i/flow_ij
+            original = jnp.concatenate(
+                [colors[:, 0], colors[:, 1], flow_ims[:, 0], flow_ims[:, 1]],
+                axis=2)
+            masked = jnp.concatenate(
+                [overlay(colors[:, 0], 0), overlay(colors[:, 1], 1),
+                 overlay(flow_ims[:, 0], 0), overlay(flow_ims[:, 1], 1)],
+                axis=2)
+            panel = jnp.concatenate([original, masked], axis=1)
+
+            pixels = geometry.pixel_grid((H, W))
+            uv = pixels + flows.reshape(B * 2, H, W, 2)
+            src = jnp.stack([colors[:, 1], colors[:, 0]], axis=1)
+            warped = sample_uv(src.reshape(B * 2, H, W, 3), uv)
+            # uint8 on device: the fetch is the bottleneck on a
+            # tunneled chip (f32 panels are 4x the bytes)
+            to_u8 = lambda x: jnp.clip(x, 0, 255).astype(jnp.uint8)  # noqa: E731
+            return to_u8(panel), to_u8(warped)
+
+        def write_out(chunk, panel, warped):
+            panel = np.asarray(panel)
+            warped = np.asarray(warped)
+            for k, pair in enumerate(chunk):
+                cv2.imwrite(vis_fmt.format(*pair), panel[k])
+                if warp:
+                    for s, idxs in enumerate((pair, pair[::-1])):
+                        cv2.imwrite(warp_fmt.format(*idxs),
+                                    warped[2 * k + s])
+
+        # dispatch-ahead: the previous chunk's PNG writes happen while
+        # the device renders the current chunk
+        pending = None
+        for start in range(0, len(todo), batch_pairs):
+            chunk = todo[start:start + batch_pairs]
+            flows = np.stack([
+                np.stack([
+                    image_io.load_raw_float32_image(flow_fmt.format(*idxs))
+                    for idxs in (pair, pair[::-1])
+                ]) for pair in chunk
+            ])
+            colors = np.stack([
+                np.stack([
+                    image_io.load_raw_float32_image(color_fmt.format(i)) * 255
+                    for i in pair
+                ]) for pair in chunk
+            ])
+            masks = np.stack([
+                np.stack([
+                    cv2.imread(mask_fmt.format(*idxs), 0)
+                    for idxs in (pair, pair[::-1])
+                ]) for pair in chunk
+            ]).astype(np.float32)[..., None]
+            panel, warped = render(
+                jnp.asarray(flows), jnp.asarray(colors), jnp.asarray(masks))
+            if pending is not None:
+                write_out(*pending)
+            pending = (chunk, jax.device_get(panel), jax.device_get(warped))
+        if pending is not None:
+            write_out(*pending)

@@ -107,16 +107,20 @@ class TrainingEngine:
     # ------------------------------------------------------------------
     def init_state(self) -> TrainState:
         # copy: train_step donates its input state, and the model's own
-        # variable buffers must survive repeated init_state calls
-        params = jax.tree_util.tree_map(
-            jnp.copy, self.model.variables["params"])
-        state = TrainState(
-            params=params,
-            batch_stats=jax.tree_util.tree_map(
-                jnp.copy, self.model.variables.get("batch_stats", {})),
-            opt_state=self.optimizer.init(params),
-            step=jnp.zeros((), jnp.int32),
-        )
+        # variable buffers must survive repeated init_state calls.
+        # One jitted program: eager per-leaf copies + optax zeros pay a
+        # per-op compile/RPC on the tunneled TPU.
+        def _build(variables):
+            params = jax.tree_util.tree_map(jnp.copy, variables["params"])
+            return TrainState(
+                params=params,
+                batch_stats=jax.tree_util.tree_map(
+                    jnp.copy, variables.get("batch_stats", {})),
+                opt_state=self.optimizer.init(params),
+                step=jnp.zeros((), jnp.int32),
+            )
+
+        state = jax.jit(_build)(self.model.variables)
         if self.mesh is not None:
             state = jax.device_put(
                 state, NamedSharding(self.mesh, P()))

@@ -25,6 +25,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 from ..data import PairBatchIterator, VideoFrameDataset, VideoPairDataset
 from ..models.registry import get_depth_model
@@ -154,6 +155,11 @@ class DepthFineTuner:
             precision=getattr(params, "precision", "f32"))
         self.state = self.engine.init_state()
         self.vis_depth_scale: Optional[float] = None
+        # one compiled program that clones every state buffer (used for
+        # checkpoint snapshots that must survive the next epoch's
+        # donated dispatch; per-leaf jnp.copy would pay one RPC each)
+        self._snapshot = jax.jit(
+            lambda s: jax.tree_util.tree_map(jnp.copy, s))
 
     # ------------------------------------------------------------------
     def save_depth(self, dir: str = None, frames=None,  # noqa: A002
@@ -310,8 +316,11 @@ class DepthFineTuner:
             val_proc = (
                 dispatch_validate(epoch + 1, total_iters)
                 if (epoch + 1) % self.params.val_epoch_freq == 0 else None)
+            # checkpoint snapshot must be an un-donated device COPY:
+            # the next epoch's train_epoch donates self.state's buffers,
+            # which would delete them before the deferred fetch runs
             ckpt_state = (
-                self.state
+                self._snapshot(self.state)
                 if (epoch + 1) % self.params.save_epoch_freq == 0 else None)
 
             def process(epoch=epoch, metrics=metrics, steps=steps,

@@ -79,7 +79,7 @@ def test_full_pipeline(dataset):
     params = Video3dParamsParser().parse([
         "--path", path,
         "--batch_size", "2",
-        "--num_epochs", "1",
+        "--num_epochs", "2",
         "--model_type", "mc",
     ])
     params.model_checkpoint = ""  # no pretrained weights in this env
@@ -111,9 +111,13 @@ def test_full_pipeline(dataset):
 
     # fine-tune artifacts: checkpoint + eval losses
     assert os.path.isfile(pjoin(ft_out_dir, "checkpoints", "0001.pth"))
+    assert os.path.isfile(pjoin(ft_out_dir, "checkpoints", "0002.pth"))
     eval_files = [f for f in os.listdir(pjoin(ft_out_dir, "eval"))
                   if f.startswith("loss") and f.endswith(".json")]
-    assert len(eval_files) == 2  # pre-training + epoch 1
+    assert len(eval_files) == 3  # pre-training + epochs 1, 2
+    # (2 epochs also exercise the dispatch-ahead loop's donation
+    # hazard: a checkpoint snapshot must survive the next epoch's
+    # donated train dispatch)
     with open(pjoin(ft_out_dir, "eval", sorted(eval_files)[0])) as f:
         losses = json.load(f)
     assert {"reprojection", "disparity", "mean"} <= set(losses)
@@ -134,7 +138,7 @@ def test_pipeline_is_idempotent(dataset):
     from consistent_depth_tpu.pipeline.process import DatasetProcessor
 
     params = Video3dParamsParser().parse([
-        "--path", path, "--batch_size", "2", "--num_epochs", "1",
+        "--path", path, "--batch_size", "2", "--num_epochs", "2",
         "--model_type", "mc",
     ])
     params.model_checkpoint = ""
