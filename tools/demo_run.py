@@ -101,8 +101,11 @@ def main():
         print(json.dumps({"stage": "build_dataset", "s": 0.0,
                           "note": "cached"}), flush=True)
 
+    from consistent_depth_tpu.cli.main import _enable_persistent_jit_cache
     from consistent_depth_tpu.cli.params import Video3dParamsParser
     from consistent_depth_tpu.pipeline.process import DatasetProcessor
+
+    _enable_persistent_jit_cache()
 
     params = Video3dParamsParser().parse([
         "--path", args.path,
