@@ -96,6 +96,20 @@ class Flow:
                 continue
             todo.append(indices)
 
+        import jax
+
+        def write_out(chunk, masks):
+            for pair, mask_pair in zip(chunk, np.asarray(masks)):
+                for idxs, mask in zip((pair, pair[::-1]), mask_pair):
+                    cv2.imwrite(
+                        mask_fmt.format(*idxs),
+                        mask.astype(np.uint8) * 255)
+
+        # FIFO-safe pipelining (the tunneled chip serializes every RPC,
+        # so a fetch enqueued after the NEXT dispatch would wait for it
+        # too): chunk k's host reads overlap compute(k-1); fetch(k-1)
+        # happens BEFORE dispatch(k); the PNG writes overlap compute(k)
+        pending = None
         for start in range(0, len(todo), batch_pairs):
             chunk = todo[start:start + batch_pairs]
             flows = np.stack([
@@ -110,14 +124,16 @@ class Flow:
                     for i in pair
                 ]) for pair in chunk
             ])
-            masks = np.asarray(consistency.consistent_flow_masks(
+            fetched = (pending[0], jax.device_get(pending[1])) \
+                if pending is not None else None
+            masks = consistency.consistent_flow_masks(
                 jnp.asarray(flows), jnp.asarray(colors),
-                flow_thresh, color_thresh))
-            for pair, mask_pair in zip(chunk, masks):
-                for idxs, mask in zip((pair, pair[::-1]), mask_pair):
-                    cv2.imwrite(
-                        mask_fmt.format(*idxs),
-                        mask.astype(np.uint8) * 255)
+                flow_thresh, color_thresh)
+            pending = (chunk, masks)
+            if fetched is not None:
+                write_out(*fetched)
+        if pending is not None:
+            write_out(pending[0], jax.device_get(pending[1]))
 
     # ------------------------------------------------------------------
     def check_good_flow_pairs(self, frame_pairs, overlap_ratio: float) -> str:
@@ -245,8 +261,9 @@ class Flow:
                         cv2.imwrite(warp_fmt.format(*idxs),
                                     warped[2 * k + s])
 
-        # dispatch-ahead: the previous chunk's PNG writes happen while
-        # the device renders the current chunk
+        # FIFO-safe pipelining (see mask_valid_correspondences): host
+        # reads overlap the previous render; the fetch precedes the
+        # next dispatch; PNG writes overlap the current render
         pending = None
         for start in range(0, len(todo), batch_pairs):
             chunk = todo[start:start + batch_pairs]
@@ -268,10 +285,12 @@ class Flow:
                     for idxs in (pair, pair[::-1])
                 ]) for pair in chunk
             ]).astype(np.float32)[..., None]
-            panel, warped = render(
+            fetched = ((pending[0],) + tuple(jax.device_get(pending[1:]))
+                       if pending is not None else None)
+            out = render(
                 jnp.asarray(flows), jnp.asarray(colors), jnp.asarray(masks))
-            if pending is not None:
-                write_out(*pending)
-            pending = (chunk, jax.device_get(panel), jax.device_get(warped))
+            pending = (chunk,) + tuple(out)
+            if fetched is not None:
+                write_out(*fetched)
         if pending is not None:
-            write_out(*pending)
+            write_out(pending[0], *jax.device_get(pending[1:]))
