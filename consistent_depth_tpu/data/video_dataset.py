@@ -86,11 +86,19 @@ def _native_batch(paths, probe_shape):
 
 def load_color_batch(paths) -> np.ndarray:
     """(N, H, W, 3) float32 BGR stack of same-shaped color frames."""
-    first = load_color(paths[0])
-    batch = _native_batch(paths, first.shape[:2] + (3,))
-    if batch is not None:
-        return np.ascontiguousarray(batch[..., ::-1])  # RGB -> BGR
-    return np.stack([first] + [load_color(p) for p in paths[1:]])
+    from ..io import _native
+
+    if _native.available():
+        try:
+            # shape probe via the header only — no duplicate pixel read
+            h, w, _ = _native.read_header(paths[0])
+        except (OSError, IOError, ValueError):
+            h = w = 0
+        if h:
+            batch = _native_batch(paths, (h, w, 3))
+            if batch is not None:
+                return np.ascontiguousarray(batch[..., ::-1])  # RGB -> BGR
+    return np.stack([load_color(p) for p in paths])
 
 
 def load_flow_batch(paths, h: int, w: int) -> np.ndarray:

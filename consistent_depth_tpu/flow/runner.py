@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from ..io import image_io
 from .backends import (FlowBackend, align_homography,
                        compose_homography_flow, resize_flow)
-from .flownet import FlowNet2CSS
+from .flownet import FlowNet2, FlowNet2CSS
 
 
 def _round64(v: int) -> int:
@@ -28,21 +28,34 @@ def _round64(v: int) -> int:
 
 
 class JaxFlowBackend(FlowBackend):
-    """Runs a JAX flow network (FlowNet2 C->S->S cascade) on TPU."""
+    """Runs a JAX flow network on TPU: the full FlowNet2
+    (C->S->S + SD + fusion, like the reference's released checkpoint —
+    optical_flow_flownet2_homography.py:246-252) when the checkpoint
+    carries the SD/fusion weights, else the C->S->S cascade."""
 
     name = "jax-flownet"
 
     def __init__(self, variables=None, checkpoint: Optional[str] = None,
-                 homography: bool = True, seed: int = 0):
-        self.module = FlowNet2CSS()
+                 homography: bool = True, seed: int = 0,
+                 full: Optional[bool] = None):
         self.homography = homography
-        if variables is None:
-            if checkpoint and os.path.isfile(checkpoint):
-                from ..models import torch_import
+        sd = None
+        if variables is None and checkpoint and os.path.isfile(checkpoint):
+            from ..models import torch_import
 
-                sd = torch_import.load_torch_checkpoint(checkpoint)
-                # keep only the C/S1/S2 cascade of a full FlowNet2 dict
+            sd = torch_import.load_torch_checkpoint(checkpoint)
+        if full is None:
+            # auto-select: use the full net exactly when its branches
+            # have weights to load
+            full = sd is not None and any(
+                k.startswith(("flownets_d.", "flownetfusion."))
+                for k in sd)
+        self.module = FlowNet2() if full else FlowNet2CSS()
+        if variables is None:
+            if sd is not None:
                 keep = ("flownetc.", "flownets_1.", "flownets_2.")
+                if full:
+                    keep += ("flownets_d.", "flownetfusion.")
                 sd = {k: v for k, v in sd.items() if k.startswith(keep)}
                 template = self._init(seed)
                 variables = torch_import.state_dict_to_variables(

@@ -56,7 +56,8 @@ def available() -> bool:
     return _load() is not None
 
 
-def load_raw(path: str) -> np.ndarray:
+def read_header(path: str):
+    """(H, W, C) from a .raw file's header — no pixel IO."""
     lib = _load()
     h = ctypes.c_int32()
     w = ctypes.c_int32()
@@ -67,6 +68,12 @@ def load_raw(path: str) -> np.ndarray:
         raise FileNotFoundError(path)
     if rc != 0:
         raise ValueError(f"bad .raw header in {path} (rc={rc})")
+    return h.value, w.value, c.value
+
+
+def load_raw(path: str) -> np.ndarray:
+    lib = _load()
+    h, w, c = (ctypes.c_int32(v) for v in read_header(path))
     out = np.empty((h.value, w.value, c.value), np.float32)
     rc = lib.cdtpu_raw_read(path.encode(), out.reshape(-1), out.size)
     if rc != 0:

@@ -198,7 +198,11 @@ def conv_compute(kernel, bias, x, stride: int = 1, padding: int = 0,
     w = kernel.astype(dt)
 
     s = 0
-    if (stride == 1 and dilation == 1
+    # odd kernels only: _s2d_gather_indices' tap-range formula
+    # (hi = (s-1+p)//s) assumes symmetric padding p = (k-1)/2 exactly,
+    # which only holds for odd k — an even kernel would silently drop
+    # taps and change the output shape instead of falling back
+    if (stride == 1 and dilation == 1 and k % 2 == 1
             and kernel.shape[0] == kernel.shape[1]
             and padding == (k - 1) // 2 and x.ndim == 4):
         s = _s2d_factor(x.shape[1], x.shape[2], x.shape[-1], k,

@@ -137,7 +137,12 @@ _SPLAT_MATMUL = False
 
 
 def set_splat_enabled(flag: bool) -> None:
-    """Toggle the matmul-splat backward (engine enables it under bf16)."""
+    """Toggle the matmul-splat backward (engine enables it under bf16).
+
+    Like the compute-dtype policy this is captured at TRACE time:
+    programs jitted while the flag was set keep their choice; set it
+    (via TrainingEngine's precision, normally) before building the
+    functions whose gradients it should affect."""
     global _SPLAT_MATMUL
     _SPLAT_MATMUL = bool(flag)
 
@@ -199,12 +204,17 @@ def _bilinear_fast_bwd(res, ct):
                 (ct * w).reshape(-1, C), mode="drop")
         d_data = flat_ct.reshape(H, W, C)
 
-    # position gradients from the fetched corner values; the border
-    # clip contributes zero gradient outside [0, size-1] (matching the
-    # autodiff of the reference formulation through jnp.clip)
+    # position gradients from the fetched corner values. The border
+    # clip contributes zero gradient outside [0, size-1], AND at
+    # exactly size-1: there the reference formulation has x0 = x1 =
+    # size-1 (identical corners -> d/dx = 0) while this path's
+    # x0 <= size-2 convention keeps distinct corners, so the bound
+    # must be strict or border-exact samples (e.g. identity warps)
+    # would leak a one-sided finite difference the reference autodiff
+    # does not produce.
     H_, W_ = shape[0], shape[1]
-    in_x = ((x >= 0) & (x <= W_ - 1)).astype(ct.dtype)
-    in_y = ((y >= 0) & (y <= H_ - 1)).astype(ct.dtype)
+    in_x = ((x >= 0) & (x < W_ - 1)).astype(ct.dtype)
+    in_y = ((y >= 0) & (y < H_ - 1)).astype(ct.dtype)
     top_dx = win[..., 1, :] - win[..., 0, :]
     bot_dx = win[..., 3, :] - win[..., 2, :]
     d_x = jnp.sum(ct * (top_dx * (1 - wyc) + bot_dx * wyc), axis=-1) * in_x

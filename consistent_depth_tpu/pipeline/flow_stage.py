@@ -242,24 +242,25 @@ class Flow:
                 axis=2)
             panel = jnp.concatenate([original, masked], axis=1)
 
+            # uint8 on device: the fetch is the bottleneck on a
+            # tunneled chip (f32 panels are 4x the bytes)
+            to_u8 = lambda x: jnp.clip(x, 0, 255).astype(jnp.uint8)  # noqa: E731
+            if not warp:   # static: no warp compute or fetch at all
+                return (to_u8(panel),)
             pixels = geometry.pixel_grid((H, W))
             uv = pixels + flows.reshape(B * 2, H, W, 2)
             src = jnp.stack([colors[:, 1], colors[:, 0]], axis=1)
             warped = sample_uv(src.reshape(B * 2, H, W, 3), uv)
-            # uint8 on device: the fetch is the bottleneck on a
-            # tunneled chip (f32 panels are 4x the bytes)
-            to_u8 = lambda x: jnp.clip(x, 0, 255).astype(jnp.uint8)  # noqa: E731
             return to_u8(panel), to_u8(warped)
 
-        def write_out(chunk, panel, warped):
+        def write_out(chunk, panel, warped=None):
             panel = np.asarray(panel)
-            warped = np.asarray(warped)
             for k, pair in enumerate(chunk):
                 cv2.imwrite(vis_fmt.format(*pair), panel[k])
                 if warp:
                     for s, idxs in enumerate((pair, pair[::-1])):
                         cv2.imwrite(warp_fmt.format(*idxs),
-                                    warped[2 * k + s])
+                                    np.asarray(warped)[2 * k + s])
 
         # FIFO-safe pipelining (see mask_valid_correspondences): host
         # reads overlap the previous render; the fetch precedes the

@@ -263,6 +263,11 @@ class DepthFineTuner:
         # under the next epoch's device compute. ``pending`` holds the
         # deferred host closures; at most one epoch stays in flight.
         pending: List = []
+        # steady-state epoch duration = delta between successive
+        # deferred-processing completions (the fetch inside process()
+        # drains behind the NEXT epoch's programs on a FIFO transport,
+        # so "now - dispatch_time" would span two epochs)
+        last_done = [time.perf_counter()]
 
         def run_pending(limit: int):
             while len(pending) > limit:
@@ -353,8 +358,10 @@ class DepthFineTuner:
                             jax.device_get(
                                 metrics["captured_depth"][capture_slot[s]]),
                             n_iter)
+                now = time.perf_counter()
                 print(f"Epoch {epoch} took "
-                      f"{time.perf_counter() - t0:.2f}s.")
+                      f"{now - max(t0, last_done[0]):.2f}s.")
+                last_done[0] = now
                 if val_proc is not None:
                     val_proc()
                 if ckpt_state is not None:

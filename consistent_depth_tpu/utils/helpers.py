@@ -3,16 +3,13 @@
 Functional equivalent of the reference's ``utils/helpers.py`` (banners
 around stage transitions, mkdir-p, a stdout gag for chatty third-party
 code), implemented independently: one ``_frame`` renderer drives both
-banner styles, and the stdout suppressor is an ``ExitStack``-friendly
-context manager built on ``contextlib``.
+banner styles.
 """
 
 from __future__ import annotations
 
 import contextlib
-import io
 import os
-import sys
 from typing import Iterator
 
 
@@ -56,20 +53,12 @@ class dotdict(dict):
         del self[key]
 
 
-class SuppressedStdout:
-    """Swallow everything written to stdout inside the ``with`` block."""
-
-    def __enter__(self) -> "SuppressedStdout":
-        self._redirect = contextlib.redirect_stdout(io.StringIO())
-        self._redirect.__enter__()
-        return self
-
-    def __exit__(self, *exc) -> None:
-        self._redirect.__exit__(*exc)
-
-
 @contextlib.contextmanager
 def suppressed_stdout() -> Iterator[None]:
-    """Functional-style alternative to :class:`SuppressedStdout`."""
-    with contextlib.redirect_stdout(io.StringIO()):
-        yield
+    """Swallow everything written to stdout inside the ``with`` block
+    (reference utils/helpers.py's SuppressedStdout; discards to the
+    null device rather than buffering, so chatty long-running callees
+    don't grow memory)."""
+    with open(os.devnull, "w") as devnull:
+        with contextlib.redirect_stdout(devnull):
+            yield

@@ -94,3 +94,23 @@ def test_splat_matmul_backward_matches_scatter():
     np.testing.assert_allclose(g_splat, g_scatter, rtol=2e-2, atol=2e-3)
     # sanity: the gradient is not degenerate
     assert np.abs(g_scatter).max() > 0.1
+
+
+def test_border_exact_position_gradient_zero():
+    """At exactly x == W-1 (or y == H-1) the reference formulation has
+    identical corners (x0 == x1 == W-1), so d/dx == 0; the fast path's
+    x0 <= W-2 convention must not leak a one-sided difference there
+    (regression: identity warps of border pixels)."""
+    rng = np.random.default_rng(6)
+    H, W = 9, 11
+    data = jnp.asarray(rng.random((H, W, 1)), jnp.float32)
+    x = jnp.asarray([[W - 1.0, 3.2]], jnp.float32)
+    y = jnp.asarray([[H - 1.0, 4.7]], jnp.float32)
+
+    for fn in (resample.bilinear_sample_pixels,
+               resample.bilinear_sample_pixels_reference):
+        gx, gy = jax.grad(
+            lambda xx, yy: jnp.sum(data.sum() * 0 + fn(data, xx, yy)),
+            argnums=(0, 1))(x, y)
+        assert float(gx[0, 0]) == 0.0, fn.__name__
+        assert float(gy[0, 0]) == 0.0, fn.__name__
