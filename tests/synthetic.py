@@ -24,15 +24,25 @@ def make_scene(num_frames=6, H=32, W=48, seed=0):
     intrinsics = np.tile(
         np.array([fx, fy, cx, cy], np.float32), (num_frames, 1))
 
+    # bounded TOTAL motion: the per-frame steps below match the
+    # original test-sized scenes (N <= ~20) exactly, but for demo-sized
+    # N they would spin the camera past the plane (4.9 rad at N=244 —
+    # negative/degenerate depths, chaotic training); cap the totals and
+    # spread them over the trajectory instead
+    n1 = max(num_frames - 1, 1)
+    rot_step = min(0.02, 0.4 / n1)
+    tx_step = min(0.08, 1.2 / n1)
+    ty_step = min(0.01, 0.15 / n1)
+
     extrinsics = []
     for i in range(num_frames):
-        angle = 0.02 * i
+        angle = rot_step * i
         R = np.array([
             [np.cos(angle), 0, np.sin(angle)],
             [0, 1, 0],
             [-np.sin(angle), 0, np.cos(angle)],
         ])
-        t = np.array([0.08 * i, 0.01 * i, 0.0])
+        t = np.array([tx_step * i, ty_step * i, 0.0])
         extrinsics.append(
             np.concatenate([R, t[:, None]], axis=1).astype(np.float32))
     extrinsics = np.stack(extrinsics)
