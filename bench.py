@@ -133,6 +133,11 @@ def traced_matmul_flops(fn, *args) -> float:
 
 
 def main():
+    from consistent_depth_tpu.utils.jit_cache import (
+        enable_persistent_jit_cache,
+    )
+
+    enable_persistent_jit_cache()
     from consistent_depth_tpu.models.mannequin_challenge import (
         MannequinChallengeModel,
     )
