@@ -79,9 +79,16 @@ class DepthServer:
     # -- compiled program per resolution bucket ------------------------
     def _program(self, shape: Tuple[int, int]):
         if shape not in self._programs:
+            # under the bf16 compute policy the host-bound depth travels
+            # as f16 (same convention as engine.eval_epoch: the compute
+            # noise is ~4e-3 relative, f16 adds 1e-3, and the transfer
+            # is the serving bottleneck on thin host links)
+            out_dt = (jnp.float16 if self.config.precision == "bf16"
+                      else jnp.float32)
+
             def infer(variables, images):
                 depth, _ = self.model.apply(variables, images, train=False)
-                return depth
+                return depth.astype(out_dt)
 
             if self.config.mesh is None:
                 self._programs[shape] = jax.jit(infer)
@@ -157,7 +164,8 @@ class DepthServer:
 
         def fetch(flight):
             depth, keys, sizes = flight
-            depth = np.asarray(jax.device_get(depth))[:, 0]
+            depth = np.asarray(jax.device_get(depth)).astype(
+                np.float32)[:, 0]
             for i, (key, (h, w)) in enumerate(zip(keys, sizes)):
                 yield key, depth[i, :h, :w]
 
