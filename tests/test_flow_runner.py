@@ -34,6 +34,7 @@ def test_compose_homography_translation():
     np.testing.assert_allclose(out[..., 1], 2, atol=1e-5)
 
 
+@pytest.mark.slow  # compiles the full FlowNet2 cascade
 def test_jax_backend_process_pairs(tmp_path):
     import cv2
 

@@ -121,6 +121,18 @@ def conv_s2d(w2, x, s, kk, pad, c_out):
     return y.reshape(B, H2 * s, Wd * s, c_out)
 
 
+def conv_im2col(w_flat, x, k):
+    """kxk conv as explicit im2col patches + one dense dot: contraction
+    depth k*k*C_in instead of the per-tap C_in the native conv exposes.
+    Only plausible when C_in is tiny (the stem's C_in=3): the patch
+    tensor inflates HBM traffic by k^2."""
+    p = (k - 1) // 2
+    patches = lax.conv_general_dilated_patches(
+        x, (k, k), (1, 1), [(p, p), (p, p)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return jnp.einsum("bhwi,io->bhwo", patches, w_flat)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
@@ -203,7 +215,14 @@ def main():
 
         res = {}
         res["xla"] = timed(conv_xla, w, x, args.iters)
-        if k > 1 and C_out <= 64 and H % 4 == 0 and W % 4 == 0:
+        if k > 1 and C_in <= 4:
+            # stem-class conv: contraction depth k*C_in per tap row is
+            # the bottleneck; im2col exposes the full k*k*C_in depth
+            w_flat = jnp.asarray(
+                w_np.reshape(k * k * C_in, C_out), dt)
+            res["im2col"] = timed(
+                functools.partial(conv_im2col, k=k), w_flat, x, args.iters)
+        if k > 1 and C_out <= 128 and H % 4 == 0 and W % 4 == 0:
             for s in (2, 4):
                 try:
                     w2_np, kk, pad = conv_s2d_weights(w_np, s)
