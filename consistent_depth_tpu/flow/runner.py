@@ -116,3 +116,60 @@ class JaxFlowBackend(FlowBackend):
                 im1.astype(np.float32), im2.astype(np.float32))
             image_io.save_raw_float32_image(
                 out_fn, resize_flow(flow, out_size))
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    """Standalone flow CLI (reference:
+    optical_flow_flownet2_homography.py:108-271): compute flow from
+    each --im1[i] to --im2[i], save .raw (and optionally a color-wheel
+    PNG) at --out[i]. Existing outputs are skipped, like every other
+    stage."""
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        "Compute optical flow from im1 to im2")
+    parser.add_argument("--im1", nargs="+", required=True)
+    parser.add_argument("--im2", nargs="+", required=True)
+    parser.add_argument("--out", nargs="+", required=True)
+    parser.add_argument("--checkpoint", type=str, default="",
+                        help="FlowNet2 .pth/.pth.tar state dict; random "
+                        "init when absent (useful only for smoke runs)")
+    parser.add_argument("--homography", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="pre-align im2 onto im1 with a RANSAC "
+                        "feature homography before the network")
+    parser.add_argument("--size", type=int, nargs=2, default=None,
+                        metavar=("H", "W"),
+                        help="resize the output flow to (H, W)")
+    parser.add_argument("--visualize", action="store_true",
+                        help="also write a color-wheel PNG next to "
+                        "each .raw output")
+    args = parser.parse_args(argv)
+    if not (len(args.im1) == len(args.im2) == len(args.out)):
+        parser.error("--im1/--im2/--out must have equal lengths")
+
+    import cv2
+
+    backend = JaxFlowBackend(
+        checkpoint=args.checkpoint, homography=args.homography)
+    for im1_fn, im2_fn, out_fn in zip(args.im1, args.im2, args.out):
+        if os.path.isfile(out_fn):
+            continue
+        im1 = cv2.imread(im1_fn)[..., ::-1].astype(np.float32) / 255.0
+        im2 = cv2.imread(im2_fn)[..., ::-1].astype(np.float32) / 255.0
+        flow = backend.compute_pair(im1, im2)
+        if args.size is not None:
+            flow = resize_flow(flow, (args.size[1], args.size[0]))
+        d = os.path.dirname(out_fn)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        image_io.save_raw_float32_image(out_fn, flow)
+        if args.visualize:
+            from ..ops.flow_viz import flow_to_image
+
+            cv2.imwrite(os.path.splitext(out_fn)[0] + ".png",
+                        flow_to_image(flow)[..., ::-1])
+
+
+if __name__ == "__main__":
+    main()

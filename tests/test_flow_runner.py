@@ -59,3 +59,48 @@ def test_jax_backend_process_pairs(tmp_path):
 def test_create_backend_defaults_to_precomputed():
     b = backends.create_flow_backend("FlowNet2")
     assert isinstance(b, backends.PrecomputedFlowBackend)
+
+
+def test_standalone_cli_plumbing(tmp_path, monkeypatch):
+    """The standalone flow CLI (reference:
+    optical_flow_flownet2_homography.py:108-271) reads image pairs,
+    writes .raw flow (+ optional PNG), skips existing outputs."""
+    import cv2
+
+    from consistent_depth_tpu.flow import runner
+
+    rng = np.random.default_rng(0)
+    for i in (1, 2):
+        cv2.imwrite(str(tmp_path / f"im{i}.png"),
+                    (rng.random((16, 24, 3)) * 255).astype(np.uint8))
+
+    calls = []
+
+    class FakeBackend:
+        def __init__(self, **kw):
+            calls.append(kw)
+
+        def compute_pair(self, im1, im2):
+            assert im1.shape == (16, 24, 3) and im1.dtype == np.float32
+            return np.stack([np.ones((16, 24), np.float32),
+                             np.zeros((16, 24), np.float32)], -1)
+
+    monkeypatch.setattr(runner, "JaxFlowBackend", FakeBackend)
+    out = tmp_path / "sub" / "flow.raw"
+    argv = ["--im1", str(tmp_path / "im1.png"),
+            "--im2", str(tmp_path / "im2.png"),
+            "--out", str(out), "--size", "8", "12",
+            "--visualize", "--no-homography"]
+    runner.main(argv)
+
+    assert calls[0]["homography"] is False
+    flow = image_io.load_raw_float32_image(str(out))
+    assert flow.shape == (8, 12, 2)
+    # resize_flow rescales the u component by the width ratio 12/24
+    np.testing.assert_allclose(flow[..., 0], 0.5, atol=1e-6)
+    assert (tmp_path / "sub" / "flow.png").is_file()
+
+    # second run: output exists -> backend never invoked again
+    n = len(calls)
+    runner.main(argv)
+    assert len(calls) == n + 1  # constructed once more, compute skipped
