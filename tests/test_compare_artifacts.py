@@ -62,6 +62,15 @@ def test_eval_loss_diff(tmp_path, capsys):
     assert "reprojection" in out and "rel_diff" in out
 
 
+def test_skip_is_distinct_exit_code(tmp_path, capsys):
+    """No comparable artifacts must NOT read as parity: exit 2, so a CI
+    wiring that calls the harness can't silently pass on missing inputs."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(a), os.makedirs(b)
+    assert compare_artifacts.main([a, b]) == 2
+    assert "SKIP" in capsys.readouterr().out
+
+
 def test_nan_pixels_ignored(tmp_path):
     a, b = str(tmp_path / "a"), str(tmp_path / "b")
     os.makedirs(a), os.makedirs(b)

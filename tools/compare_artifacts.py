@@ -19,7 +19,9 @@ download the released pretrained weights (mc/midas2/monodepth2) through
 the reference's URLs into ``checkpoints/`` so a real-weights parity run
 can be performed; in offline environments this prints a documented skip.
 
-Exit code: 0 = parity (or skipped for lack of inputs), 1 = out of band.
+Exit codes: 0 = parity, 1 = out of band, 2 = SKIP (no comparable
+artifacts found) — distinct so CI wiring can't silently "pass" when the
+inputs are missing.
 """
 
 from __future__ import annotations
@@ -149,7 +151,7 @@ def main(argv=None) -> int:
     if not report:
         print("SKIP: no comparable artifacts found "
               "(need depth/*.raw or eval/loss_*.json on both sides).")
-        return 0
+        return 2
 
     if args.json:
         print(json.dumps(report, indent=2))
