@@ -20,6 +20,7 @@ import functools
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -86,7 +87,14 @@ class TrainingEngine:
         # (exact scatter in f32/parity mode — see ops/resample.py)
         resample.set_splat_enabled(precision == "bf16")
         self.model = model
-        self.optimizer = optimizer
+        # flatten: the optimizer runs on ONE raveled parameter vector
+        # instead of ~350 tree leaves. Runtime-neutral on TPU (measured,
+        # tools/opt_bench.py: 0.64 -> 0.42 ms) but it collapses the
+        # update tail from ~10^3 tiny per-leaf HLO kernels to a handful
+        # of vector ops, which is what keeps XLA:CPU compile time of the
+        # train step inside the multi-chip dryrun's window on small
+        # hosts (see PERF.md "Compile-time pathology").
+        self.optimizer = optax.flatten(optimizer)
         self.weights = weights
         self.mesh = mesh
         # clone of the pretrained params for ParameterLoss (reference:
@@ -187,21 +195,26 @@ class TrainingEngine:
 
         updates, new_opt_state = self.optimizer.update(
             grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
 
         # skip on non-finite loss (reference: depth_fine_tuning.py:278-280)
         # AND on non-finite gradients — a finite loss can still carry
         # 0*inf gradients through the 1/z backward at degenerate depths,
-        # which would silently poison the params
-        grads_ok = jax.tree_util.tree_reduce(
-            jnp.logical_and,
-            jax.tree_util.tree_map(
-                lambda g: jnp.all(jnp.isfinite(g)), grads),
-            jnp.asarray(True),
-        )
-        ok = jnp.isfinite(loss) & grads_ok
+        # which would silently poison the params.
+        #
+        # Everything here works on ONE raveled vector: a per-leaf
+        # isfinite tree-reduce + per-leaf selects is the same math but
+        # ~10^3 extra HLO kernels, which alone blew XLA:CPU compile of
+        # this program past 8 minutes (PERF.md "Compile-time pathology").
+        flat_g, _ = jax.flatten_util.ravel_pytree(grads)
+        ok = jnp.isfinite(loss) & jnp.all(jnp.isfinite(flat_g))
+        # masked apply: skipped step adds exactly 0 to every param (a
+        # select, NOT a multiply — 0 * NaN-update would poison params);
+        # the optimizer state reverts via selects on its few flat leaves
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + jnp.where(ok, u, jnp.zeros((), u.dtype)),
+            state.params, updates)
         new_state = TrainState(
-            params=_tree_where(ok, new_params, state.params),
+            params=new_params,
             batch_stats=new_stats,
             opt_state=_tree_where(ok, new_opt_state, state.opt_state),
             step=state.step + 1,

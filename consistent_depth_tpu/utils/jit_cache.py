@@ -18,14 +18,29 @@ import os
 
 
 def _host_fingerprint() -> str:
-    """Short stable id for this machine's instruction set."""
+    """Short stable id for this machine's instruction set.
+
+    Covers the feature flags AND the CPU model identity: LLVM derives
+    tuning pseudo-features (e.g. ``prefer-no-scatter`` on some server
+    parts) from the detected microarchitecture, so two hosts with
+    identical cpuinfo flags can still produce mutually-foreign XLA:CPU
+    AOT executables."""
     tokens = [os.uname().machine]
     try:
+        model = ""
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
-                    tokens.append(" ".join(sorted(line.split(":", 1)[1].split())))
+                if line.startswith(("model name", "vendor_id", "cpu family",
+                                    "model", "stepping", "CPU part",
+                                    "CPU implementer")):
+                    model += line.strip() + ";"
+                elif line.startswith(("flags", "Features")):
+                    # flags end the identity block on x86; one block is
+                    # enough (all cores identical for our purposes)
+                    tokens.append(
+                        " ".join(sorted(line.split(":", 1)[1].split())))
                     break
+        tokens.append(model)
     except OSError:
         import platform
 

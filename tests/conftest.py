@@ -22,20 +22,27 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
 # Persistent compilation cache: the twin-compile tests dominate suite
-# wall-clock; cache their executables across runs.
+# wall-clock; cache their executables across runs. Host-scoped like the
+# production cache (utils/jit_cache.py): XLA's cache key does not cover
+# the CPU feature set, and loading another machine's XLA:CPU AOT
+# executable warns about SIGILL-level feature mismatches.
+from consistent_depth_tpu.utils.jit_cache import _host_fingerprint  # noqa: E402
+
 _CACHE_DIR = os.environ.get(
-    "CDTPU_TEST_CACHE", os.path.expanduser("~/.cache/cdtpu_jax_test_cache"))
+    "CDTPU_TEST_CACHE",
+    os.path.expanduser(
+        "~/.cache/cdtpu_jax_test_cache-" + _host_fingerprint()))
 try:
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 except Exception:  # pragma: no cover - older jax without these flags
     pass
-
-REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-if REPO_ROOT not in sys.path:
-    sys.path.insert(0, REPO_ROOT)
 
 REFERENCE_ROOT = "/root/reference"
 
