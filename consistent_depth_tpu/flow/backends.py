@@ -132,11 +132,14 @@ class PrecomputedFlowBackend(FlowBackend):
 def create_flow_backend(checkpoint: str = "FlowNet2") -> FlowBackend:
     """checkpoint names follow the reference CLI ('FlowNet2',
     'FlowNet2-KITTI'). If the corresponding torch checkpoint exists in
-    checkpoints/, the native JAX FlowNet cascade runs it (homography
-    pre-alignment for the non-KITTI model, reference flow.py:97-98);
-    otherwise flow is a precomputed input."""
+    the checkpoint cache (./checkpoints like the reference's download
+    cache, utils/url_helpers.py:10-34; override the location with
+    CDTPU_CHECKPOINT_DIR), the native JAX FlowNet cascade runs it
+    (homography pre-alignment for the non-KITTI model, reference
+    flow.py:97-98); otherwise flow is a precomputed input."""
     name = checkpoint.lower()
-    ckpt_path = os.path.join("checkpoints", f"{name}.pth")
+    ckpt_dir = os.environ.get("CDTPU_CHECKPOINT_DIR", "checkpoints")
+    ckpt_path = os.path.join(ckpt_dir, f"{name}.pth")
     if os.path.isfile(ckpt_path):
         from .runner import JaxFlowBackend
 

@@ -44,11 +44,19 @@ class JaxFlowBackend(FlowBackend):
             from ..models import torch_import
 
             sd = torch_import.load_torch_checkpoint(checkpoint)
+        # the released FlowNet2 checkpoint spells the cascade stages
+        # "flownets_1." (module attributes); our own .pth export writes
+        # "flownets.1." (torch_import's generic name_index convention).
+        # Both spellings import to the same flax path — normalize only
+        # for the prefix checks below.
+        def _norm(k: str) -> str:
+            return k.replace("flownets.", "flownets_")
+
         if full is None:
             # auto-select: use the full net exactly when its branches
             # have weights to load
             full = sd is not None and any(
-                k.startswith(("flownets_d.", "flownetfusion."))
+                _norm(k).startswith(("flownets_d.", "flownetfusion."))
                 for k in sd)
         self.module = FlowNet2() if full else FlowNet2CSS()
         if variables is None:
@@ -56,7 +64,8 @@ class JaxFlowBackend(FlowBackend):
                 keep = ("flownetc.", "flownets_1.", "flownets_2.")
                 if full:
                     keep += ("flownets_d.", "flownetfusion.")
-                sd = {k: v for k, v in sd.items() if k.startswith(keep)}
+                sd = {k: v for k, v in sd.items()
+                      if _norm(k).startswith(keep)}
                 template = self._init(seed)
                 variables = torch_import.state_dict_to_variables(
                     sd, template, strict=False)
