@@ -41,6 +41,16 @@ class ServeConfig:
     precision: str = "bf16"
     batch_size: int = 8
     mesh: Optional[Mesh] = None
+    # latency bound for ragged streams: flush a partially-filled
+    # resolution bucket (padded) once this many requests for OTHER
+    # buckets have arrived since it last grew. None = only flush full
+    # buckets / end of stream (max throughput, unbounded latency).
+    flush_max_wait: Optional[int] = None
+    # dispatch pipeline depth: how many micro-batches may be in flight
+    # before the oldest result is fetched. 1 = double buffering (launch
+    # k+1, then fetch k); deeper helps only when host fetch latency
+    # exceeds a whole batch's compute.
+    max_in_flight: int = 1
     # extra kwargs forwarded to the backbone constructor
     model_kwargs: Dict[str, Any] = field(default_factory=dict)
 
@@ -144,23 +154,33 @@ class DepthServer:
         ``(key, depth)`` as micro-batches complete.
 
         Frames are grouped into per-resolution buckets; a bucket is
-        flushed when it reaches the static batch size (stragglers are
-        flushed padded at end of stream). Order within a bucket is
-        preserved; across buckets results arrive in flush order.
+        flushed when it reaches the static batch size, when it has
+        waited ``config.flush_max_wait`` foreign requests (latency
+        bound for ragged streams — a padded flush trades MXU
+        utilization for tail latency), and at end of stream. Order
+        within a bucket is preserved; across buckets results arrive in
+        flush order. Up to ``config.max_in_flight`` micro-batches stay
+        in flight before the oldest is fetched.
         """
+        from collections import deque
+
         pending: Dict[Tuple[int, int], List[Tuple[Any, np.ndarray]]] = {}
-        # one batch in flight at a time: (device_depth, keys, sizes)
-        in_flight: Optional[Tuple[jnp.ndarray, List[Any],
-                                  List[Tuple[int, int]]]] = None
+        # requests seen at the time the bucket last grew (staleness probe)
+        last_grew: Dict[Tuple[int, int], int] = {}
+        in_flight: deque = deque()
+        n_seen = 0
+        max_if = max(1, self.config.max_in_flight)
 
         def launch(bucket):
-            nonlocal in_flight
             group = pending.pop(bucket)
+            last_grew.pop(bucket, None)
             keys = [k for k, _ in group]
             sizes = [f.shape[:2] for _, f in group]
             depth = self._dispatch([f for _, f in group], bucket)
-            done, in_flight = in_flight, (depth, keys, sizes)
-            return done
+            in_flight.append((depth, keys, sizes))
+            if len(in_flight) > max_if:
+                return in_flight.popleft()
+            return None
 
         def fetch(flight):
             depth, keys, sizes = flight
@@ -169,20 +189,30 @@ class DepthServer:
             for i, (key, (h, w)) in enumerate(zip(keys, sizes)):
                 yield key, depth[i, :h, :w]
 
+        wait = self.config.flush_max_wait
         for key, frame in requests:
             frame = np.asarray(frame, np.float32)
             bucket = self._bucket_of(*frame.shape[:2])
             pending.setdefault(bucket, []).append((key, frame))
+            n_seen += 1
+            last_grew[bucket] = n_seen
             if len(pending[bucket]) == self.config.batch_size:
                 done = launch(bucket)
                 if done is not None:
                     yield from fetch(done)
+            if wait is not None:
+                stale = [b for b, at in last_grew.items()
+                         if n_seen - at >= wait]
+                for b in stale:
+                    done = launch(b)
+                    if done is not None:
+                        yield from fetch(done)
         for bucket in sorted(pending):
             done = launch(bucket)
             if done is not None:
                 yield from fetch(done)
-        if in_flight is not None:
-            yield from fetch(in_flight)
+        while in_flight:
+            yield from fetch(in_flight.popleft())
 
     # -- convenience ----------------------------------------------------
     def infer_videos(self, videos: Dict[Any, np.ndarray],

@@ -100,3 +100,38 @@ def test_mesh_serving_parity(model):
     sharded = _server(model, batch_size=8,
                       mesh=make_mesh(8)).infer_frames(frames)
     np.testing.assert_allclose(sharded, plain, rtol=1e-5, atol=1e-5)
+
+
+def test_flush_max_wait_bounds_latency(model):
+    """With flush_max_wait=N, a straggler bucket is flushed (padded)
+    after N foreign requests instead of waiting for end of stream."""
+    rng = np.random.default_rng(4)
+    small = rng.random((32, 48, 3), np.float32)
+    big = [rng.random((64, 64, 3), np.float32) for _ in range(6)]
+
+    server = _server(model, batch_size=2, flush_max_wait=2)
+
+    order = []
+
+    def gen():
+        yield "s0", small            # fills bucket (32,48) to 1 of 2
+        for i, f in enumerate(big):  # foreign traffic
+            yield f"b{i}", f
+
+    for key, depth in server.serve(gen()):
+        order.append(key)
+    # the straggler was flushed after 2 foreign requests: its result
+    # arrives before the later big batches, NOT last
+    assert order.index("s0") < order.index("b4")
+    assert set(order) == {"s0"} | {f"b{i}" for i in range(6)}
+
+
+def test_max_in_flight_preserves_results(model):
+    """A deeper dispatch pipeline returns identical depths."""
+    rng = np.random.default_rng(5)
+    frames = rng.random((7, 32, 48, 3), np.float32)
+    shallow = _server(model, batch_size=2, max_in_flight=1)
+    deep = _server(model, batch_size=2, max_in_flight=3)
+    np.testing.assert_allclose(
+        deep.infer_frames(frames), shallow.infer_frames(frames),
+        rtol=1e-6, atol=1e-6)
