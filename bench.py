@@ -226,17 +226,33 @@ def main():
     # achieved FLOPS / MFU from an exact jaxpr walk (the axon platform's
     # compiled cost_analysis reports garbage): counts every executed
     # conv/dot flop in the train-epoch program, including the
-    # structured-zero inflation of the space-to-depth kernels
-    try:
-        epoch_flops = traced_matmul_flops(
+    # structured-zero inflation of the space-to-depth kernels. The
+    # USEFUL count re-traces the identical program with s2d disabled —
+    # same math, native kernels, no zero padding — so mfu_useful is the
+    # honest utilization (zero-padding FLOPs do occupy the MXU but do
+    # no work).
+    def _epoch_flops():
+        return traced_matmul_flops(
             lambda s, d, i, v, c: engine._train_epoch_impl(s, d, i, v, c),
             state, dev_data, jnp.asarray(idx_mat), jnp.asarray(valid_mat),
             jnp.full((steps_per_epoch,), -1, jnp.int32))
+
+    from consistent_depth_tpu.models import layers as _layers
+
+    try:
+        epoch_flops = _epoch_flops()
+        try:
+            _layers.set_s2d_enabled(False)
+            useful_flops = _epoch_flops()
+        finally:
+            _layers.set_s2d_enabled(True)
     except Exception:  # pragma: no cover
-        epoch_flops = 0.0
+        epoch_flops = useful_flops = 0.0
     achieved_tflops = epoch_flops / epoch_s / 1e12 if epoch_flops else None
     mfu = (epoch_flops / epoch_s / (n_chips * V5E_PEAK_BF16_FLOPS)
            if epoch_flops else None)
+    mfu_useful = (useful_flops / epoch_s / (n_chips * V5E_PEAK_BF16_FLOPS)
+                  if useful_flops else None)
 
     result = {
         "metric": "ayush_finetune_20epoch_projected_wallclock",
@@ -258,6 +274,7 @@ def main():
             "train_step_tflops": (
                 round(achieved_tflops, 1) if achieved_tflops else None),
             "mfu": round(mfu, 3) if mfu else None,
+            "mfu_useful": round(mfu_useful, 3) if mfu_useful else None,
         },
     }
     print(json.dumps(result))
