@@ -182,20 +182,32 @@ class DatasetProcessor:
     # -- graph definitions -------------------------------------------------
     @staticmethod
     def _frames_graph() -> List[Stage]:
+        # the probes reuse the stages' own idempotency checks (each body
+        # re-checks on entry as well — the reference's model), so the
+        # framework's uniform "outputs up to date" reporting covers them
         return [
-            Stage("Extracting PTS", _extract_pts),
-            Stage("Extracting frames", _extract_frames),
+            Stage("Extracting PTS", _extract_pts,
+                  done=lambda s: s.video.check_extracted_pts()),
+            Stage("Extracting frames", _extract_frames,
+                  done=lambda s: s.video.check_frames(
+                      pjoin(s.path, "color_full"), "png")),
         ]
 
     def _build_graph(self, params) -> List[Stage]:
+        def downscaled(column, ext):
+            return lambda s: s.video.check_frames(pjoin(s.path, column), ext)
+
         return self._frames_graph() + [
             Stage("Downscaling frames (raw)",
-                  _downscale("color_down", lambda s: s.params.size, "raw")),
+                  _downscale("color_down", lambda s: s.params.size, "raw"),
+                  done=downscaled("color_down", "raw")),
             Stage("Downscaling frames (png)",
-                  _downscale("color_down_png", lambda s: s.params.size, "png")),
+                  _downscale("color_down_png", lambda s: s.params.size, "png"),
+                  done=downscaled("color_down_png", "png")),
             Stage("Downscaling frames (for flow)",
                   _downscale("color_flow", lambda s: Flow.max_size(), "png",
-                             align=64)),
+                             align=64),
+                  done=downscaled("color_flow", "png")),
             Stage("Loading depth model", _init_models),
             Stage("Compute initial depth", _initial_depth,
                   done=lambda s: s.video.check_frames(
@@ -203,7 +215,12 @@ class DatasetProcessor:
             Stage("Calibrating scale", _calibrate),
             Stage("Compute flow", _compute_flow),
             Stage("Compute flow masks", _flow_masks),
-            Stage("Filter flow pairs", _filter_pairs),
+            Stage("Filter flow pairs", _filter_pairs,
+                  done=lambda s: (
+                      os.path.isfile(pjoin(
+                          s.out_dir,
+                          "flow_list_%.2f.json" % s.params.overlap_ratio))
+                      and os.path.isfile(pjoin(s.path, "flow_list.json")))),
             Stage("Visualize flow", _visualize_flow),
             Stage("Fine-tuning", _fine_tune),
             Stage("Compute final depth", _final_depth,
