@@ -227,3 +227,21 @@ def test_homography_alignment_fidelity_on_realistic_frames():
     diff = np.abs(warped - im1).mean()
     base = np.abs(im2 - im1).mean()
     assert diff < 0.5 * base, (diff, base)
+
+    # End-to-end flow fidelity: for a pure-homography scene the
+    # residual flow on the aligned pair is ~0, so composing the
+    # recovered H back (the runner's un-warping step, reference
+    # optical_flow_flownet2_homography.py:201-224) must reproduce the
+    # ground-truth displacement field p -> H_true^-1 p - p to
+    # sub-pixel end-point error over the interior.
+    zero_flow = np.zeros((H_img, W_img, 2), np.float32)
+    composed = backends.compose_homography_flow(zero_flow, H_mat)
+    X, Y = np.meshgrid(np.arange(W_img, dtype=np.float64),
+                       np.arange(H_img, dtype=np.float64))
+    pts = np.stack([X, Y], axis=-1).reshape(-1, 1, 2)
+    true_flow = (cv2.perspectiveTransform(pts, np.linalg.inv(H_true))
+                 .reshape(H_img, W_img, 2) - np.stack([X, Y], axis=-1))
+    interior = (slice(16, -16), slice(16, -16))
+    epe = np.linalg.norm(
+        composed[interior] - true_flow[interior], axis=-1)
+    assert np.median(epe) < 0.5, (np.median(epe), epe.max())
