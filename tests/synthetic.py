@@ -121,6 +121,79 @@ def build_pair_arrays(scene, pairs):
     }
 
 
+def build_e2e_dataset(path, num_frames=6, H=32, W=48):
+    """Populate ``path`` with everything the video/colmap stages would
+    have produced for the synthetic scene, exactly as the pipeline e2e
+    test uses it (and as ``tools/make_golden.py`` regenerates golden
+    artifacts from). Returns the scene dict.
+
+    Layout mirrors the reference demo with precomputed COLMAP
+    (reference README.md:40-43): frames.txt + color dirs + poses
+    metadata + converted dense inverse depth + exact flows for every
+    two-way hierarchical2 pair.
+    """
+    import cv2
+
+    from consistent_depth_tpu.utils import frame_range, frame_sampling
+
+    scene = make_scene(num_frames=num_frames, H=H, W=W)
+
+    metadata_io.write_frames_txt(
+        pjoin(path, "frames.txt"),
+        metadata_io.FramesTxt(
+            num_frames, W, H,
+            [f"{i / 30:.6f}" for i in range(num_frames)]))
+    for sub in ("color_full", "color_down_png", "color_flow"):
+        os.makedirs(pjoin(path, sub), exist_ok=True)
+    os.makedirs(pjoin(path, "color_down"), exist_ok=True)
+    for i in range(num_frames):
+        bgr = (scene["frames"][i][..., ::-1] * 255).astype(np.uint8)
+        for sub in ("color_full", "color_down_png", "color_flow"):
+            cv2.imwrite(pjoin(path, sub, f"frame_{i:06d}.png"), bgr)
+        image_io.save_raw_float32_image(
+            pjoin(path, "color_down", f"frame_{i:06d}.raw"),
+            scene["frames"][i])
+
+    os.makedirs(pjoin(path, "colmap_dense"), exist_ok=True)
+    metadata_io.write_metadata(
+        pjoin(path, "colmap_dense", "metadata.npz"),
+        scene["intrinsics"], scene["extrinsics"])
+    conv_dir = pjoin(path, "depth_colmap_dense", "depth")
+    os.makedirs(conv_dir, exist_ok=True)
+    for i in range(num_frames):
+        image_io.save_raw_float32_image(
+            pjoin(conv_dir, f"frame_{i:06d}.raw"),
+            (1.0 / scene["depths"][i]).astype(np.float32))
+
+    os.makedirs(pjoin(path, "flow"), exist_ok=True)
+    fr = frame_range.FrameRange(
+        frame_range.OptionalSet(), num_frames=num_frames)
+    pairs = frame_sampling.SamplePairs.sample(
+        [frame_sampling.SamplePairsOptions(
+            frame_sampling.SamplePairsMode.HIERARCHICAL2)],
+        fr, two_way=True)
+    for (i, j) in pairs:
+        image_io.save_raw_float32_image(
+            pjoin(path, "flow", f"flow_{i:06d}_{j:06d}.raw"),
+            exact_flow(scene, i, j))
+    return scene
+
+
+E2E_PIPELINE_ARGS = ["--batch_size", "2", "--num_epochs", "2",
+                     "--model_type", "mc"]
+
+
+def run_e2e_pipeline(path):
+    """Run the full CLI pipeline on a ``build_e2e_dataset`` dir with the
+    canonical e2e/golden parameters (random-init mc, f32, 2 epochs)."""
+    from consistent_depth_tpu.cli.params import Video3dParamsParser
+    from consistent_depth_tpu.pipeline.process import DatasetProcessor
+
+    params = Video3dParamsParser().parse(["--path", path] + E2E_PIPELINE_ARGS)
+    params.model_checkpoint = ""  # no pretrained weights in this env
+    return DatasetProcessor().process(params)
+
+
 def write_dataset_dir(path, scene, pairs):
     """Write a reference-layout dataset directory from the scene."""
     import cv2

@@ -2,7 +2,16 @@
 on a synthetic scene with precomputed COLMAP-style inputs (poses +
 dense depth), exercising every stage except ffmpeg/colmap subprocesses
 (video frames and SfM outputs are pre-populated, as in the reference's
-demo with precomputed COLMAP — README.md:40-43)."""
+demo with precomputed COLMAP — README.md:40-43).
+
+Also the offline golden-artifact regression gate: every run's initial
+depth, pre-training eval losses, scale calibration, and final artifacts
+are diffed against goldens committed under ``tests/golden/e2e``
+(regenerate with ``python tools/make_golden.py`` after an intentional
+numerics change). This is the stand-in for the reference's
+expected-results fixture (reference README.md:70-71) until real
+pretrained weights are available in this environment.
+"""
 
 import json
 import os
@@ -16,74 +25,28 @@ from consistent_depth_tpu.io import image_io, metadata_io
 
 pytestmark = pytest.mark.slow  # compile-heavy
 
+GOLDEN_DIR = pjoin(os.path.dirname(__file__), "golden", "e2e")
+
 
 @pytest.fixture(scope="module")
 def dataset(tmp_path_factory):
     """Synthetic dataset dir with everything the video/colmap stages
     would have produced."""
-    import cv2
-
     path = str(tmp_path_factory.mktemp("e2e"))
-    N, H, W = 6, 32, 48
-    scene = synthetic.make_scene(num_frames=N, H=H, W=W)
-
-    # video stage outputs: frames.txt + color_full + downscaled dirs
-    metadata_io.write_frames_txt(
-        pjoin(path, "frames.txt"),
-        metadata_io.FramesTxt(N, W, H, [f"{i / 30:.6f}" for i in range(N)]))
-    for sub in ("color_full", "color_down_png", "color_flow"):
-        os.makedirs(pjoin(path, sub), exist_ok=True)
-    os.makedirs(pjoin(path, "color_down"), exist_ok=True)
-    for i in range(N):
-        bgr = (scene["frames"][i][..., ::-1] * 255).astype(np.uint8)
-        for sub in ("color_full", "color_down_png", "color_flow"):
-            cv2.imwrite(pjoin(path, sub, f"frame_{i:06d}.png"), bgr)
-        image_io.save_raw_float32_image(
-            pjoin(path, "color_down", f"frame_{i:06d}.raw"),
-            scene["frames"][i])
-
-    # colmap stage outputs: poses metadata + converted dense inverse depth
-    os.makedirs(pjoin(path, "colmap_dense"), exist_ok=True)
-    metadata_io.write_metadata(
-        pjoin(path, "colmap_dense", "metadata.npz"),
-        scene["intrinsics"], scene["extrinsics"])
-    conv_dir = pjoin(path, "depth_colmap_dense", "depth")
-    os.makedirs(conv_dir, exist_ok=True)
-    for i in range(N):
-        image_io.save_raw_float32_image(
-            pjoin(conv_dir, f"frame_{i:06d}.raw"),
-            (1.0 / scene["depths"][i]).astype(np.float32))
-
-    # flow stage inputs: exact flow for every two-way hierarchical2 pair
-    os.makedirs(pjoin(path, "flow"), exist_ok=True)
-    from consistent_depth_tpu.utils import frame_range, frame_sampling
-
-    fr = frame_range.FrameRange(frame_range.OptionalSet(), num_frames=N)
-    pairs = frame_sampling.SamplePairs.sample(
-        [frame_sampling.SamplePairsOptions(
-            frame_sampling.SamplePairsMode.HIERARCHICAL2)],
-        fr, two_way=True)
-    for (i, j) in pairs:
-        image_io.save_raw_float32_image(
-            pjoin(path, "flow", f"flow_{i:06d}_{j:06d}.raw"),
-            synthetic.exact_flow(scene, i, j))
-
+    scene = synthetic.build_e2e_dataset(path)
     return path, scene
 
 
-def test_full_pipeline(dataset):
+@pytest.fixture(scope="module")
+def pipeline_run(dataset):
+    """One full pipeline run shared by the structural and golden tests."""
     path, scene = dataset
-    from consistent_depth_tpu.cli.params import Video3dParamsParser
-    from consistent_depth_tpu.pipeline.process import DatasetProcessor
+    initial_depth_dir, ft_out_dir, frames = synthetic.run_e2e_pipeline(path)
+    return path, scene, initial_depth_dir, ft_out_dir, frames
 
-    params = Video3dParamsParser().parse([
-        "--path", path,
-        "--batch_size", "2",
-        "--num_epochs", "2",
-        "--model_type", "mc",
-    ])
-    params.model_checkpoint = ""  # no pretrained weights in this env
-    initial_depth_dir, ft_out_dir, frames = DatasetProcessor().process(params)
+
+def test_full_pipeline(pipeline_run):
+    path, scene, initial_depth_dir, ft_out_dir, frames = pipeline_run
 
     assert frames == list(range(6))
     # initial + final depth written for every frame
@@ -128,22 +91,76 @@ def test_full_pipeline(dataset):
     assert len(os.listdir(pjoin(range_dir, "vis_calibration_dense"))) > 0
 
 
-def test_pipeline_is_idempotent(dataset):
+def test_golden_parity(pipeline_run):
+    """Diff this run's artifacts against the committed goldens.
+
+    Tight bands on the training-free artifacts (initial depth inference,
+    pre-training eval losses, calibration scales): these are
+    deterministic forward passes where any drift means a numerics
+    change. Loose sanity bands on post-training artifacts: two Adam
+    epochs on a random-init net amplify benign reduction-order changes,
+    so only gross regressions (wrong loss, broken update) are caught
+    there.
+    """
+    import sys
+
+    sys.path.insert(0, pjoin(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    import compare_artifacts as ca
+
+    if not os.path.isdir(GOLDEN_DIR):
+        pytest.fail(
+            "tests/golden/e2e is missing — regenerate with "
+            "`python tools/make_golden.py` and commit the result")
+
+    path, scene, initial_depth_dir, ft_out_dir, frames = pipeline_run
+    range_dir = os.path.dirname(ft_out_dir)
+
+    with open(pjoin(GOLDEN_DIR, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert manifest["pipeline_args"] == synthetic.E2E_PIPELINE_ARGS
+
+    # 1. initial depth inference (pure forward, random-init params)
+    d = ca.compare_depth_dirs(
+        pjoin(GOLDEN_DIR, "initial_depth"), pjoin(initial_depth_dir, "depth"))
+    assert d["frames_compared"] == 6 and not d["frames_only_a"]
+    assert d["rmse_max"] < 1e-3, f"initial depth drifted: {d}"
+
+    # 2. calibration scales
+    golden_scales = metadata_io.read_scales_csv(
+        pjoin(GOLDEN_DIR, "scales.csv"))
+    scales = metadata_io.read_scales_csv(pjoin(range_dir, "scales.csv"))
+    np.testing.assert_allclose(
+        scales[:, 1], golden_scales[:, 1], rtol=1e-3)
+
+    # 3. eval losses: pre-training tight, post-training loose
+    e = ca.compare_eval_losses(
+        pjoin(GOLDEN_DIR, "eval"), pjoin(ft_out_dir, "eval"))
+    assert e, "no overlapping eval loss files vs golden"
+    pre = [n for n in e if "_e0000_" in n or n == "loss_e0000.json"]
+    assert pre, f"pre-training eval missing from comparison: {list(e)}"
+    for name in e:
+        band = 1e-3 if name in pre else 0.5
+        for key, v in e[name].items():
+            assert v["rel_diff"] < band, (
+                f"eval {name} {key} out of band: {v}")
+
+    # 4. final depth: loose sanity band (training chaos amplifies
+    # benign drift; a broken loss/update moves it far more than 25%)
+    d = ca.compare_depth_dirs(
+        pjoin(GOLDEN_DIR, "final_depth"), pjoin(ft_out_dir, "depth"))
+    assert d["frames_compared"] == 6
+    assert d["rmse_max"] < 0.25, f"final depth out of band: {d}"
+
+
+def test_pipeline_is_idempotent(pipeline_run):
     """Re-running the pipeline must skip every cached stage quickly
     (the reference's resumability model, SURVEY §5)."""
     import time
 
-    path, scene = dataset
-    from consistent_depth_tpu.cli.params import Video3dParamsParser
-    from consistent_depth_tpu.pipeline.process import DatasetProcessor
-
-    params = Video3dParamsParser().parse([
-        "--path", path, "--batch_size", "2", "--num_epochs", "2",
-        "--model_type", "mc",
-    ])
-    params.model_checkpoint = ""
+    path = pipeline_run[0]
     t0 = time.perf_counter()
-    DatasetProcessor().process(params)
+    synthetic.run_e2e_pipeline(path)
     # the only non-cached stages are fine-tune + final depth checks;
     # everything before fine-tuning must be skipped via cache checks
     assert os.path.isfile(pjoin(path, "flow_list.json"))
