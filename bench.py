@@ -205,10 +205,13 @@ def main():
     # dispatch train(e)+eval(e), then fetch epoch e-1's metrics and
     # ~50 MB depth buffer while the device runs epoch e — the transfer
     # hides under compute, so a cycle costs max(compute, host) rather
-    # than their sum
+    # than their sum. The tunneled chip's transfer stream shows up to 4x
+    # run-to-run variance (PERF.md), so time each cycle individually and
+    # take the median of 3 rather than a mean that one stall can poison.
+    cycle_times = []
     prev = None
-    t0 = time.perf_counter()
-    for _ in range(n_timed):
+    for _ in range(3):
+        t0 = time.perf_counter()
         state, m = engine.train_epoch(state, dev_data, idx_mat, valid_mat)
         state, em = engine.eval_epoch(state, dev_data, idx_mat, valid_mat)
         if prev is not None:
@@ -216,9 +219,10 @@ def main():
             fetch(prev[1]["depth_frames"])
             fetch(prev[1]["loss"])
         prev = (m, em)
-    fetch(prev[0]["loss"])
+        fetch(m["loss"])  # barrier: this cycle's compute is done
+        cycle_times.append(time.perf_counter() - t0)
     fetch(prev[1]["depth_frames"])
-    cycle_s = (time.perf_counter() - t0) / n_timed
+    cycle_s = float(np.median(cycle_times))
 
     # 20 train+eval cycles plus the pre-training eval
     projected = EPOCHS * cycle_s + eval_epoch_s
