@@ -1,0 +1,112 @@
+"""AOT-compile the 8-way data-parallel train step for a REAL v5e-8 TPU
+topology (``jax.experimental.topologies`` — no TPU hardware required)
+and assert the compiled program's collective structure.
+
+This is the multi-chip gate the virtual CPU mesh cannot provide: the
+CPU mesh executes the SPMD program but compiles it with XLA:CPU; this
+test runs the actual TPU compiler for a v5e:2x4 slice and checks that
+
+- the program compiles at all (partitioning valid on real hardware);
+- the gradient all-reduce exists and moves at least the full parameter
+  footprint (bf16 grads under the production policy);
+- nothing unexpected (all-to-all, host transfers) crosses the mesh;
+- the per-chip HBM footprint is sane.
+
+The demo-shape version of this audit is ``tools/topology_bench.py``.
+"""
+
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.slow  # one real-TPU-compiler compile (~2 min)
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_tool():
+    spec = importlib.util.spec_from_file_location(
+        "topology_bench", os.path.join(REPO_ROOT, "tools/topology_bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_v5e8_train_step_compiles_with_grad_allreduce():
+    tb = _load_tool()
+    try:
+        topo = tb.build_topology("v5e:2x4")
+    except Exception as e:  # no libtpu / unsupported platform
+        pytest.skip(f"TPU AOT topology unavailable: {e}")
+
+    from jax.sharding import Mesh
+    from consistent_depth_tpu.models.mannequin_challenge import (
+        MannequinChallengeModel,
+    )
+    from consistent_depth_tpu.ops.losses import LossWeights
+    from consistent_depth_tpu.parallel.mesh import DATA_AXIS
+    from consistent_depth_tpu.training import (
+        TrainingEngine, create_optimizer,
+    )
+
+    devices = np.asarray(topo.devices)
+    assert devices.size == 8
+    mesh = Mesh(devices, (DATA_AXIS,))
+    engine = TrainingEngine(
+        MannequinChallengeModel(checkpoint="", seed=0),
+        create_optimizer("Adam", 4e-4), LossWeights(),
+        mesh=mesh, precision="bf16")
+
+    n_chips = devices.size
+    batch = 4 * n_chips
+    state, data, _, _, _ = tb.abstract_inputs(
+        engine, n_chips, n_frames=4, h=32, w=32, n_pairs=batch, steps=1)
+    compiled = engine._train_step.lower(
+        state, data,
+        jax.ShapeDtypeStruct((batch,), jnp.int32),
+        jax.ShapeDtypeStruct((batch,), jnp.float32)).compile()
+
+    audit = tb.audit_collectives(compiled.as_text())
+    assert "all-reduce" in audit, audit
+    n_params = sum(
+        int(np.prod(l.shape))
+        for l in jax.tree_util.tree_leaves(engine.model.variables["params"]))
+    # the gradient all-reduce moves every parameter's gradient (bf16)
+    # plus the BN batch-stat reductions; anything less means part of
+    # the batch-sharded backward silently went un-reduced
+    assert audit["all-reduce"]["bytes"] >= 2 * n_params, (
+        audit["all-reduce"], n_params)
+    assert "all-to-all" not in audit, audit
+
+    ma = compiled.memory_analysis()
+    hbm = (ma.argument_size_in_bytes + ma.output_size_in_bytes
+           + ma.temp_size_in_bytes - ma.alias_size_in_bytes)
+    assert hbm < 2 * 1024**3  # tiny shapes: way under a 16 GiB chip
+
+
+def test_collective_audit_parser():
+    """The HLO audit must group async-fused duplicates by channel_id and
+    sum variadic tuple shapes (pure parser test, no compile)."""
+    tb = _load_tool()
+    hlo = """
+ENTRY %main () -> f32[] {
+  %ag.1 = f16[8,32]{1,0} all-gather(%p0), channel_id=7, dimensions={1}
+  %ag.2 = f16[8,32]{1,0} all-gather(%p1), channel_id=7, dimensions={1}
+  %ar.1 = (bf16[100]{0}, bf16[50]{0}) all-reduce(%a, %b), channel_id=9
+  %ar.2 = f32[10]{0} all-reduce(%c), channel_id=11
+  %ags = (f32[4,8]{1,0}, f32[32,8]{1,0}) all-gather-start(%d), channel_id=12
+  %agd = f32[32,8]{1,0} all-gather-done(%ags)
+}
+"""
+    audit = tb.audit_collectives(hlo)
+    # channel 7 counted once; channel 12 counts the gathered result only
+    assert audit["all-gather"]["count"] == 2
+    assert audit["all-gather"]["bytes"] == 8 * 32 * 2 + 32 * 8 * 4
+    # variadic tuple all-reduce sums its elements
+    assert audit["all-reduce"]["count"] == 2
+    assert audit["all-reduce"]["bytes"] == (100 + 50) * 2 + 10 * 4

@@ -1,0 +1,279 @@
+"""AOT-compile the production multi-chip programs for a REAL TPU
+topology with the real TPU compiler — no pod required — and report the
+compiler's cost/memory analysis plus an HLO collective audit at demo
+shapes.
+
+Why this exists: the only multi-chip validation this environment can
+*execute* is the 8-virtual-device CPU mesh (tests/conftest.py,
+``__graft_entry__.dryrun_multichip``), which proves SPMD semantics but
+says nothing about what the real TPU compiler does with the program.
+This tool closes that gap with ``jax.experimental.topologies``: it
+builds a device-less ``v5e:2x4`` (v5e-8) topology description, lowers
+the engine's actual train-epoch / eval-epoch / train-step programs at
+the reference-demo shapes (244 frames, 224x384, 715 hierarchical2
+pairs, global batch 4*n_chips — reference hot loop
+/root/reference/depth_fine_tuning.py:261-304), compiles them with the
+real TPU toolchain, and reports:
+
+- per-chip HBM footprint (arguments + outputs + temps + code) — proof
+  the replicated device-resident dataset plan fits a 16 GB v5e chip;
+- compiler cost analysis (FLOPs, bytes accessed, optimal seconds);
+- a collective audit straight from the optimized HLO: every
+  all-reduce / all-gather / reduce-scatter / collective-permute with
+  shapes and bytes — proof the 8-way program moves one gradient
+  all-reduce (~21 MB) plus a small metrics gather per step and nothing
+  else over ICI.
+
+Usage (any host with libtpu, no TPU attached needed):
+    python tools/topology_bench.py [--topology v5e:2x4] [--tiny]
+
+Prints one JSON document.
+"""
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import Mesh  # noqa: E402
+
+# Demo-scale workload constants (mirror bench.py)
+N_FRAMES = 244
+H, W = 224, 384
+N_PAIRS = 715            # hierarchical2 one-way pairs over 244 frames
+BATCH_PER_CHIP = 4
+HBM_PER_CHIP_BYTES = 16 * 1024**3   # v5e: 16 GiB HBM per chip
+
+
+def build_topology(name: str):
+    from jax.experimental import topologies
+
+    return topologies.get_topology_desc(platform="tpu", topology_name=name)
+
+
+def abstract_inputs(engine, n_chips, n_frames, h, w, n_pairs, steps):
+    """ShapeDtypeStructs for (state, data, idx, valid, capture)."""
+    from consistent_depth_tpu.training.engine import TrainState
+
+    def build_state(variables):
+        params = variables["params"]
+        return TrainState(
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=engine.optimizer.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    state = jax.eval_shape(build_state, engine.model.variables)
+    f32, i32 = jnp.float32, jnp.int32
+    sds = jax.ShapeDtypeStruct
+    data = {
+        "frames": sds((n_frames, h, w, 3), f32),
+        "pair_slots": sds((n_pairs, 2), i32),
+        "pair_ids": sds((n_pairs, 2), i32),
+        "flows": sds((n_pairs, 2, h, w, 2), f32),
+        "masks": sds((n_pairs, 2, h, w), f32),
+        "intrinsics": sds((n_pairs, 2, 4), f32),
+        "extrinsics": sds((n_pairs, 2, 3, 4), f32),
+    }
+    batch = BATCH_PER_CHIP * n_chips
+    idx = sds((steps, batch), i32)
+    valid = sds((steps, batch), f32)
+    cap = sds((steps,), i32)
+    return state, data, idx, valid, cap
+
+
+_COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
+                "collective-permute", "all-to-all")
+# Sync form:   %all-reduce.1 = f32[5406467]{0} all-reduce(...)
+# Async form:  %ag = (f32[4,8], f32[32,8]) all-gather-start(...)
+#              ... all-gather-done(%ag)   <- counted via the start only
+_OP_RE = re.compile(r"\s(" + "|".join(_COLLECTIVES) + r")(?:-start)?\(")
+_SHAPE_RE = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
+
+_DTYPE_BYTES = {
+    "f64": 8, "f32": 4, "f16": 2, "bf16": 2, "s64": 8, "u64": 8,
+    "s32": 4, "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1, "pred": 1,
+}
+
+
+_CHANNEL_RE = re.compile(r"channel_id=(\d+)")
+
+
+def _shape_bytes(dtype, dims):
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    return n * _DTYPE_BYTES.get(dtype, 4)
+
+
+def audit_collectives(hlo_text: str):
+    """Count LOGICAL collectives in optimized HLO, with per-op bytes.
+
+    Instructions sharing a channel_id are ONE collective: XLA's async
+    collective-fusion pass threads a single all-gather/all-reduce
+    through many fusion computations to overlap it with compute, which
+    duplicates the instruction textually (observed: one capture-buffer
+    all-gather appearing 199x across async_collective_fusion.* bodies).
+    Variadic (tuple) collectives sum their element shapes — the flat
+    gradient all-reduce moves ~181 conv-grad tensors in one channel."""
+    seen_channels = {}
+    out = {}
+    for lineno, line in enumerate(hlo_text.splitlines()):
+        m = _OP_RE.search(line)
+        if m is None:
+            continue
+        eq = line.find("=")
+        if eq < 0 or eq > m.start():
+            continue
+        op = m.group(1)
+        ch = _CHANNEL_RE.search(line)
+        key = (op, ch.group(1)) if ch else (op, f"line{lineno}")
+        if key in seen_channels:
+            continue
+        seen_channels[key] = True
+        shapes = _SHAPE_RE.findall(line[:m.start()])
+        if not shapes:
+            continue
+        sizes = [_shape_bytes(d, s) for d, s in shapes]
+        if op == "all-gather" and len(sizes) >= 2 and max(sizes) > min(sizes):
+            # async start tuple = (local shard, gathered result):
+            # count only the full-size result(s)
+            full = max(sizes)
+            nbytes = sum(s for s in sizes if s == full)
+            label = [f"{d}[{s}]" for (d, s), b in zip(shapes, sizes)
+                     if b == full][0]
+        else:
+            nbytes = sum(sizes)
+            d, s = max(zip(shapes, sizes), key=lambda t: t[1])[0]
+            label = f"{d}[{s}]" + (f" (+{len(sizes) - 1} tensors)"
+                                   if len(sizes) > 1 else "")
+        rec = out.setdefault(op, {"count": 0, "bytes": 0, "shapes": {}})
+        rec["count"] += 1
+        rec["bytes"] += nbytes
+        rec["shapes"][label] = rec["shapes"].get(label, 0) + 1
+    # keep only the 5 most frequent shapes per op to bound output
+    for rec in out.values():
+        top = sorted(rec["shapes"].items(), key=lambda kv: -kv[1])[:5]
+        rec["shapes"] = dict(top)
+    return out
+
+
+def analyze(compiled, compile_s):
+    ma = compiled.memory_analysis()
+    hbm = (ma.argument_size_in_bytes + ma.output_size_in_bytes
+           + ma.temp_size_in_bytes + ma.generated_code_size_in_bytes
+           - ma.alias_size_in_bytes)
+    row = {
+        "compile_s": round(compile_s, 1),
+        "hbm_per_chip_gib": round(hbm / 1024**3, 3),
+        "hbm_headroom_pct": round(100 * (1 - hbm / HBM_PER_CHIP_BYTES), 1),
+        "argument_gib": round(ma.argument_size_in_bytes / 1024**3, 3),
+        "temp_gib": round(ma.temp_size_in_bytes / 1024**3, 3),
+        "output_gib": round(ma.output_size_in_bytes / 1024**3, 3),
+        "donated_alias_gib": round(ma.alias_size_in_bytes / 1024**3, 3),
+        "code_mib": round(ma.generated_code_size_in_bytes / 1024**2, 1),
+    }
+    try:
+        ca = compiled.cost_analysis()
+        if ca:
+            if ca.get("flops"):
+                row["flops_per_exec"] = float(ca["flops"])
+            if ca.get("bytes accessed"):
+                row["hbm_bytes_accessed"] = float(ca["bytes accessed"])
+            if ca.get("optimal_seconds", 0) > 0:  # negative = no estimate
+                row["compiler_optimal_s"] = float(ca["optimal_seconds"])
+    except Exception:
+        pass
+    try:
+        row["collectives"] = audit_collectives(
+            compiled.as_text())
+    except Exception as e:  # pragma: no cover
+        row["collectives_error"] = str(e)[:200]
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--topology", default="v5e:2x4",
+                    help="TPU topology name (default v5e:2x4 = v5e-8)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="32x32 shapes (CI-speed sanity run)")
+    ap.add_argument("--programs", default="train_epoch,eval_epoch,train_step")
+    ap.add_argument("--dump-hlo", default="",
+                    help="directory to write each program's optimized HLO")
+    args = ap.parse_args()
+
+    # array math (model init) stays on host CPU; only the AOT lowering
+    # targets the TPU topology
+    jax.config.update("jax_platforms", "cpu")
+
+    topo = build_topology(args.topology)
+    devices = np.asarray(topo.devices)
+    n_chips = devices.size
+    from consistent_depth_tpu.parallel.mesh import DATA_AXIS
+
+    mesh = Mesh(devices, (DATA_AXIS,))
+
+    from consistent_depth_tpu.models.mannequin_challenge import (
+        MannequinChallengeModel,
+    )
+    from consistent_depth_tpu.ops.losses import LossWeights
+    from consistent_depth_tpu.training import TrainingEngine, create_optimizer
+
+    engine = TrainingEngine(
+        MannequinChallengeModel(checkpoint="", seed=0),
+        create_optimizer("Adam", 4e-4),
+        LossWeights(lambda_view_baseline=0.1, lambda_reprojection=1.0),
+        mesh=mesh, precision="bf16")
+
+    if args.tiny:
+        n_frames, h, w, n_pairs = 4, 32, 32, max(8, n_chips)
+    else:
+        n_frames, h, w, n_pairs = N_FRAMES, H, W, N_PAIRS
+    batch = BATCH_PER_CHIP * n_chips
+    steps = int(np.ceil(n_pairs / batch))
+    state, data, idx, valid, cap = abstract_inputs(
+        engine, n_chips, n_frames, h, w, n_pairs, steps)
+
+    report = {
+        "topology": args.topology,
+        "n_chips": n_chips,
+        "device_kind": str(devices.flat[0].device_kind),
+        "shapes": {"frames": [n_frames, h, w, 3], "pairs": n_pairs,
+                   "global_batch": batch, "steps_per_epoch": steps},
+        "programs": {},
+    }
+    progs = {
+        "train_epoch": (engine._train_epoch, (state, data, idx, valid, cap)),
+        "eval_epoch": (engine._eval_epoch, (state, data, idx, valid)),
+        "train_step": (engine._train_step,
+                       (state, data,
+                        jax.ShapeDtypeStruct((batch,), jnp.int32),
+                        jax.ShapeDtypeStruct((batch,), jnp.float32))),
+    }
+    for name in args.programs.split(","):
+        fn, fargs = progs[name]
+        t0 = time.perf_counter()
+        compiled = fn.lower(*fargs).compile()
+        report["programs"][name] = analyze(
+            compiled, time.perf_counter() - t0)
+        if args.dump_hlo:
+            os.makedirs(args.dump_hlo, exist_ok=True)
+            with open(os.path.join(args.dump_hlo, name + ".hlo"), "w") as f:
+                f.write(compiled.as_text())
+
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()
