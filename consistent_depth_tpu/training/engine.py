@@ -19,6 +19,8 @@ from __future__ import annotations
 import functools
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
+import numpy as np
+
 import jax
 import jax.flatten_util
 import jax.numpy as jnp
@@ -73,6 +75,7 @@ class TrainingEngine:
         mesh: Optional[Mesh] = None,
         params_init: Any = None,
         precision: str = "f32",
+        eval_dedup: Optional[bool] = None,
     ):
         # backbone conv compute dtype (params stay f32, BN statistics
         # and the geometric loss stay f32 either way). Set explicitly in
@@ -104,12 +107,30 @@ class TrainingEngine:
             self.params_init = jax.tree_util.tree_map(
                 jnp.copy, model.variables["params"])
 
+        # Deduplicated eval: each unique frame's depth is computed ONCE
+        # per eval pass instead of once per pair side (the hierarchical2
+        # pair set references every frame ~6x), and the per-pair losses
+        # join against the resulting depth buffer. The reference's
+        # validation loop re-runs the backbone per pair with BN running
+        # stats drifting batch-to-batch (torch train()-mode forward,
+        # depth_fine_tuning.py:246-257), so the per-pair losses differ
+        # from paired eval at BN-stat-drift level — below the bf16
+        # compute noise but not bitwise, hence the same gating as the
+        # other approximate TPU paths: on under the bf16 production
+        # policy, off (exact paired eval) for f32/parity runs.
+        self.eval_dedup = (precision == "bf16") if eval_dedup is None \
+            else eval_dedup
         self._train_step = self._compile(self._train_step_impl, donate=True)
         self._eval_step = self._compile(self._eval_step_impl, donate=False)
         self._train_epoch = self._compile(
             self._train_epoch_impl, donate=True, batch_rank=2, n_repl_extra=1)
-        self._eval_epoch = self._compile(
-            self._eval_epoch_impl, donate=False, batch_rank=2)
+        if self.eval_dedup:
+            self._eval_epoch = self._compile(
+                self._eval_epoch_dedup_impl, donate=False, batch_rank=2,
+                extra_specs=(P(None, DATA_AXIS, None),))
+        else:
+            self._eval_epoch = self._compile(
+                self._eval_epoch_impl, donate=False, batch_rank=2)
         self._infer = None
 
     # ------------------------------------------------------------------
@@ -145,7 +166,7 @@ class TrainingEngine:
 
     # ------------------------------------------------------------------
     def _compile(self, fn: Callable, donate: bool, batch_rank: int = 1,
-                 n_repl_extra: int = 0):
+                 n_repl_extra: int = 0, extra_specs: Tuple = ()):
         if self.mesh is None:
             return jax.jit(fn, donate_argnums=(0,) if donate else ())
         repl = NamedSharding(self.mesh, P())
@@ -156,7 +177,8 @@ class TrainingEngine:
         return jax.jit(
             fn,
             in_shardings=(repl, repl, batch_s, batch_s)
-            + (repl,) * n_repl_extra,
+            + (repl,) * n_repl_extra
+            + tuple(NamedSharding(self.mesh, s) for s in extra_specs),
             out_shardings=(repl, repl) if donate else repl,
             donate_argnums=(0,) if donate else (),
         )
@@ -312,6 +334,93 @@ class TrainingEngine:
         metrics["frames_seen"] = seen
         return state, metrics
 
+    def _eval_epoch_dedup_impl(self, state: TrainState, data, idx, valid,
+                               frame_idx):
+        """Deduplicated eval pass: forward each unique frame ONCE, then
+        join every pair's loss against the resulting depth buffer.
+
+        The reference validation loop (depth_fine_tuning.py:312-341)
+        forwards both frames of every pair, so a frame in k pairs is
+        forwarded k times per pass (~6x for hierarchical2); the depths
+        only differ through BN running-stat drift between batches. This
+        pass restructures that as:
+
+        phase 1: scan over ``frame_idx`` chunks — train-mode forward
+            (BN stats thread through, as in paired eval), depths written
+            into an (n_frames+1, H, W) f32 buffer (row n_frames is the
+            dump slot for chunk padding);
+        phase 2: scan over the pair batches — depths gathered from the
+            buffer, geometric loss only (the 5 ms chain), no forward.
+
+        At demo scale this cuts eval forwards 179 batches -> 31.
+
+        Args:
+            idx, valid: (steps, batch) pair batches, as in
+                ``_eval_epoch_impl``
+            frame_idx: (fsteps, batch, 2) int32 frame slots; padding
+                entries point at slot ``n_frames`` (the dump row)
+        """
+        n_frames, H, W = data["frames"].shape[:3]
+        from ..models.layers import compute_dtype
+
+        out_dt = (jnp.float16 if compute_dtype() == jnp.bfloat16
+                  else jnp.float32)
+
+        # per-frame scales recovered from the per-pair (P, 2) array —
+        # scales are a per-frame quantity (scales.csv), the pair array
+        # just gathers them, so the scatter is consistent by
+        # construction; frames in no pair keep 1.0
+        frame_scales = None
+        if "scales" in data:
+            frame_scales = jnp.ones((n_frames + 1,), jnp.float32)
+            frame_scales = frame_scales.at[
+                data["pair_slots"].reshape(-1)
+            ].set(data["scales"].reshape(-1).astype(jnp.float32))
+
+        buf0 = jnp.zeros((n_frames + 1, H, W), jnp.float32)
+
+        def fwd_body(carry, slots):
+            st, buf = carry
+            images = data["frames"][slots]                # (B, 2, H, W, 3)
+            scales = (frame_scales[slots]
+                      if frame_scales is not None else None)
+            depth, new_stats = self._forward(
+                st.params, st.batch_stats, images, scales, train=True)
+            flat = depth.astype(jnp.float32).reshape((-1, H, W))
+            buf = buf.at[slots.reshape(-1)].set(flat)
+            return (st._replace(batch_stats=new_stats), buf), None
+
+        (state, buf), _ = jax.lax.scan(fwd_body, (state, buf0), frame_idx)
+
+        def loss_body(carry, step_inputs):
+            step_idx, step_valid = step_inputs
+            depth = buf[data["pair_slots"][step_idx]]     # (B, 2, H, W)
+            loss, batch_losses = joint_loss(
+                depth,
+                data["intrinsics"][step_idx], data["extrinsics"][step_idx],
+                data["flows"][step_idx], data["masks"][step_idx],
+                self.weights,
+                params=carry.params, params_init=self.params_init,
+                valid=step_valid,
+            )
+            return carry, {
+                "loss": loss, "pair_ids": data["pair_ids"][step_idx],
+                **batch_losses,
+            }
+
+        state, metrics = jax.lax.scan(loss_body, state, (idx, valid))
+
+        # frames_seen: frames referenced by any VALID pair (matches the
+        # paired eval's artifact contract — padding rows never surface)
+        slots = data["pair_slots"][idx].reshape(-1)       # (steps*B*2,)
+        ok = jnp.repeat((valid > 0).reshape(-1), 2)
+        seen = jnp.zeros((n_frames + 1,), jnp.bool_).at[
+            jnp.where(ok, slots, n_frames)
+        ].set(True)[:n_frames]
+        metrics["depth_frames"] = buf[:n_frames].astype(out_dt)
+        metrics["frames_seen"] = seen
+        return state, metrics
+
     def _eval_step_impl(self, state: TrainState, data, idx, valid):
         """Validation pass: train-mode BN with running-stat updates but
         no gradient step (matches torch no_grad in train() mode —
@@ -359,8 +468,22 @@ class TrainingEngine:
             (state, metrics) where metrics carries per-step losses plus
             ``depth_frames`` (num_frames, H, W) / ``frames_seen``.
         """
+        if not self.eval_dedup:
+            return self._eval_epoch(
+                state, data, jnp.asarray(idx), jnp.asarray(valid))
+        # frame-forward chunks for the dedup pass: every resident frame
+        # once, shaped like the pair batches (B, 2) so the backbone
+        # program matches the train step's conv shapes; padding points
+        # at the dump row n_frames
+        n_frames = data["frames"].shape[0]
+        idx = jnp.asarray(idx)
+        per = 2 * idx.shape[1]
+        fsteps = max(1, -(-n_frames // per))
+        fslots = np.full((fsteps * per,), n_frames, np.int32)
+        fslots[:n_frames] = np.arange(n_frames, dtype=np.int32)
+        frame_idx = fslots.reshape(fsteps, idx.shape[1], 2)
         return self._eval_epoch(
-            state, data, jnp.asarray(idx), jnp.asarray(valid))
+            state, data, idx, jnp.asarray(valid), jnp.asarray(frame_idx))
 
     def infer(self, state: TrainState, images: jnp.ndarray,
               scales: Optional[jnp.ndarray] = None) -> jnp.ndarray:
