@@ -244,6 +244,11 @@ def main():
     steps = int(np.ceil(n_pairs / batch))
     state, data, idx, valid, cap = abstract_inputs(
         engine, n_chips, n_frames, h, w, n_pairs, steps)
+    eval_args = (state, data, idx, valid)
+    if engine.eval_dedup:  # dedup eval takes the frame-chunk index array
+        fsteps = max(1, -(-n_frames // (2 * batch)))
+        eval_args += (jax.ShapeDtypeStruct(
+            (fsteps, batch, 2), jnp.int32),)
 
     report = {
         "topology": args.topology,
@@ -255,7 +260,7 @@ def main():
     }
     progs = {
         "train_epoch": (engine._train_epoch, (state, data, idx, valid, cap)),
-        "eval_epoch": (engine._eval_epoch, (state, data, idx, valid)),
+        "eval_epoch": (engine._eval_epoch, eval_args),
         "train_step": (engine._train_step,
                        (state, data,
                         jax.ShapeDtypeStruct((batch,), jnp.int32),
@@ -267,6 +272,10 @@ def main():
         compiled = fn.lower(*fargs).compile()
         report["programs"][name] = analyze(
             compiled, time.perf_counter() - t0)
+        # incremental progress on stderr: a failed later program must not
+        # lose an earlier multi-minute compile's analysis
+        print(f"[topology] {name}: "
+              + json.dumps(report["programs"][name]), file=sys.stderr)
         if args.dump_hlo:
             os.makedirs(args.dump_hlo, exist_ok=True)
             with open(os.path.join(args.dump_hlo, name + ".hlo"), "w") as f:
