@@ -184,6 +184,12 @@ def analyze(compiled, compile_s):
         "code_mib": round(ma.generated_code_size_in_bytes / 1024**2, 1),
     }
     try:
+        # NOTE: XLA's cost analysis counts a while-loop (lax.scan) body
+        # ONCE, so for the epoch programs "flops_per_exec", "hbm bytes
+        # accessed", and the collective counts/bytes below are all
+        # per-STEP (per scan iteration), not per epoch execution —
+        # which is why train_epoch reports the same totals as
+        # train_step.
         ca = compiled.cost_analysis()
         if ca:
             if ca.get("flops"):
