@@ -40,3 +40,80 @@ def test_frame_range_flag():
                                      "--frame_range", "0,5-7"])
     assert p.frame_range.name == "0,5-7"
     assert p.frame_range.set.set == {0, 5, 6, 7}
+
+
+def test_flag_surface_matches_reference(reference_root):
+    """Every reference CLI flag must exist here with an identical
+    default (reference params.py:20-95 composes each stage's
+    add_arguments). Ours may only ADD flags, and each addition must be
+    on the documented beyond-reference list.
+
+    The reference parser is imported with its unavailable externals
+    stubbed (git submodules and download helpers are not in this
+    image); the stubs only satisfy module imports — the argparse
+    surface under test is entirely the reference's own code.
+    """
+    import sys
+    import types
+
+    def stub(name, **attrs):
+        mod = types.ModuleType(name)
+        for key, value in attrs.items():
+            setattr(mod, key, value)
+        sys.modules.setdefault(name, mod)
+        return sys.modules[name]
+
+    stub("wget")
+    tv = stub("torchvision")
+    tv.utils = stub("torchvision.utils")
+    stub("monodepth.mannequin_challenge")
+    stub("monodepth.mannequin_challenge.models", pix2pix_model=object())
+    stub("monodepth.mannequin_challenge.options")
+    stub("monodepth.mannequin_challenge.options.train_options",
+         TrainOptions=object)
+    stub("monodepth.midas_v2")
+    stub("monodepth.midas_v2.midas_net", MidasNet=object)
+    stub("monodepth.monodepth2")
+    stub("monodepth.monodepth2.networks")
+    stub("monodepth.monodepth2.networks.resnet_encoder",
+         ResnetEncoder=object)
+    stub("monodepth.monodepth2.networks.depth_decoder", DepthDecoder=object)
+    stub("third_party")
+    stub("third_party.colmap")
+    stub("third_party.colmap.scripts")
+    stub("third_party.colmap.scripts.python")
+    none = lambda *a, **k: None  # noqa: E731
+    stub("third_party.colmap.scripts.python.read_write_model",
+         CAMERA_MODELS=(), rotmat2qvec=none, Camera=object,
+         BaseImage=object, write_model=none, qvec2rotmat=none,
+         read_images_binary=none, read_points3d_binary=none,
+         read_cameras_binary=none, read_model=none)
+    stub("third_party.colmap.scripts.python.read_dense", read_array=none)
+
+    import params as ref_params  # the reference's params.py
+
+    def flag_defaults(parser):
+        return {
+            action.option_strings[0]: action.default
+            for action in parser._actions
+            if action.option_strings and action.option_strings[0] != "-h"
+        }
+
+    ref = ref_params.Video3dParamsParser()
+    ref.initialize()
+    ref_flags = flag_defaults(ref.parser)
+
+    our_flags = flag_defaults(Video3dParamsParser().parser)
+
+    missing = sorted(set(ref_flags) - set(our_flags))
+    assert not missing, f"reference flags absent here: {missing}"
+    mismatched = {
+        flag: (ref_flags[flag], our_flags[flag])
+        for flag in ref_flags if our_flags[flag] != ref_flags[flag]
+    }
+    assert not mismatched, f"defaults differ (ref, ours): {mismatched}"
+
+    beyond_reference = {"--precision", "--profile_dir", "--resume"}
+    extras = set(our_flags) - set(ref_flags)
+    assert extras <= beyond_reference, (
+        f"undocumented extra flags: {sorted(extras - beyond_reference)}")
