@@ -42,16 +42,31 @@ class COLMAPParams:
         parser.add_argument("--refine_intrinsics", action="store_true")
         parser.add_argument("--matcher", default="exhaustive",
                             choices=["exhaustive", "sequential"])
+        parser.add_argument(
+            "--colmap_keep_going", action="store_true",
+            help="log and continue past failed COLMAP subcommands "
+                 "(reference tools/colmap_processor.py:248-250 behavior) "
+                 "instead of raising at the failing step")
 
     def parse_args(self, args=None, namespace=None):
         return self.parser.parse_args(args, namespace=namespace)
 
 
 class COLMAPProcessor:
-    def __init__(self, colmap_bin: str = "colmap"):
+    def __init__(self, colmap_bin: str = "colmap", fail_fast: bool = True):
         self.colmap_bin = colmap_bin
+        # fail_fast=False restores the reference's log-and-continue on a
+        # nonzero subcommand rc (tools/colmap_processor.py:248-250);
+        # the default raises at the failing subcommand instead of
+        # surfacing later as a confusing missing-sparse-model crash.
+        self.fail_fast = fail_fast
+        self._workspace = None
+
+    def _run(self, cmd):
+        run(cmd, fail_fast=self.fail_fast, workspace=self._workspace)
 
     def process(self, args):
+        self._workspace = args.workspace_path
         os.makedirs(args.workspace_path, exist_ok=True)
         self.extract_features(args)
         self.match(args)
@@ -85,7 +100,7 @@ class COLMAPProcessor:
         if args.initialize_pose:
             cmd += ["--SiftExtraction.num_threads", "1",
                     "--SiftExtraction.gpu_index", "0"]
-        run(cmd)
+        self._run(cmd)
 
     def match(self, args):
         cmd = [
@@ -96,7 +111,7 @@ class COLMAPProcessor:
         if args.matcher == "sequential":
             cmd += ["--SequentialMatching.overlap", "50",
                     "--SequentialMatching.quadratic_overlap", "0"]
-        run(cmd)
+        self._run(cmd)
 
     def triangulate(self, args):
         if self.check_sparse(self.sparse_dir(args.workspace_path, 0)):
@@ -105,7 +120,7 @@ class COLMAPProcessor:
         assert self.check_sparse(pose_init_dir)
         sparse_dir = self.sparse_dir(args.workspace_path, 0)
         os.makedirs(sparse_dir, exist_ok=True)
-        run([
+        self._run([
             self.colmap_bin, "point_triangulator",
             "--database_path", self.db_path(args.workspace_path),
             "--image_path", args.image_path,
@@ -135,14 +150,14 @@ class COLMAPProcessor:
         if args.camera_params and not args.refine_intrinsics:
             cmd += ["--Mapper.ba_refine_focal_length", "0",
                     "--Mapper.ba_refine_extra_params", "0"]
-        run(cmd)
+        self._run(cmd)
 
     def dense(self, recon_model, args):
         dense_dir = self.dense_dir(args.workspace_path, recon_model)
         if self.check_dense(dense_dir, args.image_path):
             return
         os.makedirs(dense_dir, exist_ok=True)
-        run([
+        self._run([
             self.colmap_bin, "image_undistorter",
             "--image_path", args.image_path,
             "--input_path", self.sparse_dir(args.workspace_path, recon_model),
@@ -150,7 +165,7 @@ class COLMAPProcessor:
             "--output_type", "COLMAP",
             "--max_image_size", str(args.dense_max_size),
         ])
-        run([
+        self._run([
             self.colmap_bin, "patch_match_stereo",
             "--workspace_path", dense_dir,
             "--workspace_format", "COLMAP",
@@ -204,15 +219,25 @@ class COLMAPProcessor:
         return (num_valid / len(color_names)) >= valid_ratio
 
 
-def run(cmd):
+def run(cmd, fail_fast: bool = True, workspace: str = None):
     print(" ".join(cmd))
     result = subprocess.run(cmd)
     if result.returncode != 0:
-        logging.error("Command failed (%d): %s", result.returncode, cmd[1])
+        where = f" (workspace: {workspace})" if workspace else ""
+        msg = (f"COLMAP subcommand '{cmd[1]}' failed with rc="
+               f"{result.returncode}{where}; command: {' '.join(cmd)}")
+        if fail_fast:
+            raise RuntimeError(
+                msg + ". Pass --colmap_keep_going to log-and-continue "
+                "(the reference's behavior).")
+        logging.error(msg)
 
 
 def main(args):
-    COLMAPProcessor(args.colmap_bin_path).process(args)
+    COLMAPProcessor(
+        args.colmap_bin_path,
+        fail_fast=not getattr(args, "colmap_keep_going", False),
+    ).process(args)
     return 0
 
 

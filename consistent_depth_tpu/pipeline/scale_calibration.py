@@ -109,6 +109,13 @@ def prepare_colmap_color(video) -> str:
 def _read_colmap_poses(path: str, sparse_dir: str):
     """COLMAP sparse model -> (intrinsics, extrinsics) rescaled to the
     depth resolution and converted to the internal camera basis."""
+    if not COLMAPProcessor.check_sparse(sparse_dir):
+        raise FileNotFoundError(
+            f"No COLMAP sparse model in {sparse_dir} (expected cameras/"
+            "images .bin or .txt). Either the COLMAP reconstruction "
+            "failed upstream (check the log above; rerun without "
+            "--colmap_keep_going to stop at the failing subcommand) or "
+            "precomputed COLMAP output was not provided at this path.")
     cameras, images, _ = colmap_io.read_model(sparse_dir, ext=".bin")
     probe = image_io.load_raw_float32_image(
         pjoin(path, "color_down", "frame_000000.raw"))
@@ -124,7 +131,9 @@ def _run_colmap_if_needed(video, args, colmap_dir: str) -> None:
         print("Checked metadata file exists.")
         return
 
-    proc = COLMAPProcessor(args.colmap_bin_path)
+    proc = COLMAPProcessor(
+        args.colmap_bin_path,
+        fail_fast=not getattr(args, "colmap_keep_going", False))
     color_dir = prepare_colmap_color(video)
     if not proc.check_dense(
             proc.dense_dir(colmap_dir, 0), color_dir,

@@ -5,6 +5,7 @@ stages are idempotent and self-checking."""
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import subprocess
 import sys
@@ -107,7 +108,11 @@ class Video:
         """(reference: video.py:101-124)"""
         if not os.path.isdir(frame_dir):
             return False
-        files = [n for n in os.listdir(frame_dir) if n.endswith(extension)]
+        # count only frame artifacts — a stray file (editor dropping,
+        # preview image) must not fail the cache check with a
+        # misleading count mismatch
+        files = [n for n in os.listdir(frame_dir)
+                 if re.fullmatch(r"frame_\d{6}\." + re.escape(extension), n)]
         if len(files) == 0:
             return False
         if frames is None:
@@ -135,7 +140,8 @@ class Video:
             [FFMPEG, "-i", self.video_file, "-start_number", "0",
              "-vsync", "0", pjoin(frame_dir, "frame_%06d.png")],
             capture_output=True)
-        count = len(os.listdir(frame_dir))
+        count = len([n for n in os.listdir(frame_dir)
+                     if re.fullmatch(r"frame_\d{6}\.png", n)])
         if count != self.frame_count:
             sys.exit(f"ERROR: {count} frames extracted, but "
                      f"{self.frame_count} PTS entries.")

@@ -354,6 +354,14 @@ class TrainingEngine:
 
         At demo scale this cuts eval forwards 179 batches -> 31.
 
+        Contract deviations vs the paired eval (both harmless for
+        consumers that gate on ``frames_seen``, as ``process_eval``
+        does): (a) ``depth_frames`` rows for frames referenced by no
+        valid pair carry real depths here (paired eval leaves them
+        zero, first-seen-wins); (b) BN running stats are updated from
+        every resident frame — including frames in no pair and the
+        clamped padding duplicates — not only pair frames.
+
         Args:
             idx, valid: (steps, batch) pair batches, as in
                 ``_eval_epoch_impl``
@@ -381,7 +389,11 @@ class TrainingEngine:
 
         def fwd_body(carry, slots):
             st, buf = carry
-            images = data["frames"][slots]                # (B, 2, H, W, 3)
+            # padding slots point at the dump row n_frames, one past the
+            # frames array — clamp the image gather explicitly (the raw
+            # slots still route the scatter to the dump row below)
+            images = data["frames"][
+                jnp.minimum(slots, n_frames - 1)]         # (B, 2, H, W, 3)
             scales = (frame_scales[slots]
                       if frame_scales is not None else None)
             depth, new_stats = self._forward(

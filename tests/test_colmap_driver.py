@@ -192,3 +192,57 @@ def test_standalone_cli(stub_colmap, tmp_path, monkeypatch):
     assert colmap_processor.main(args) == 0
     assert [c[0] for c in _calls(log)] == [
         "feature_extractor", "exhaustive_matcher", "mapper"]
+
+
+def test_fail_fast_raises_at_failing_subcommand(stub_colmap, tmp_path,
+                                                monkeypatch):
+    """Default: a nonzero COLMAP rc raises immediately, naming the
+    subcommand and workspace (round-4 hardening; the reference logs and
+    continues, tools/colmap_processor.py:248-250)."""
+    bin_path, images, log = stub_colmap
+    # the stub exits 1 on unknown subcommands; break the matcher name
+    fail_bin = str(tmp_path / "colmap_fail")
+    with open(bin_path) as f:
+        body = f.read().replace("exhaustive_matcher|sequential_matcher)",
+                                "never_matches)")
+    with open(fail_bin, "w") as f:
+        f.write(body)
+    os.chmod(fail_bin, os.stat(fail_bin).st_mode | stat.S_IEXEC)
+
+    ws = str(tmp_path / "ws")
+    args = COLMAPParams().parse_args([images, ws, "--sparse"])
+    with pytest.raises(RuntimeError) as exc:
+        COLMAPProcessor(fail_bin).process(args)
+    msg = str(exc.value)
+    assert "exhaustive_matcher" in msg and ws in msg
+    # nothing after the failing step ran
+    assert [c[0] for c in _calls(log)] == [
+        "feature_extractor", "exhaustive_matcher"]
+
+
+def test_keep_going_matches_reference(stub_colmap, tmp_path):
+    """--colmap_keep_going restores log-and-continue; the downstream
+    missing-sparse-model error is then actionable (scale_calibration
+    _read_colmap_poses)."""
+    bin_path, images, log = stub_colmap
+    fail_bin = str(tmp_path / "colmap_fail")
+    with open(bin_path) as f:
+        body = f.read().replace("mapper|point_triangulator)",
+                                "never_matches)")
+    with open(fail_bin, "w") as f:
+        f.write(body)
+    os.chmod(fail_bin, os.stat(fail_bin).st_mode | stat.S_IEXEC)
+
+    ws = str(tmp_path / "ws")
+    args = COLMAPParams().parse_args(
+        [images, ws, "--sparse", "--colmap_keep_going"])
+    proc = COLMAPProcessor(fail_bin, fail_fast=not args.colmap_keep_going)
+    proc.process(args)  # mapper fails; driver keeps going (reference)
+    assert not proc.check_sparse(proc.sparse_dir(ws, 0))
+
+    from consistent_depth_tpu.pipeline.scale_calibration import (
+        _read_colmap_poses,
+    )
+    with pytest.raises(FileNotFoundError) as exc:
+        _read_colmap_poses(str(tmp_path), proc.sparse_dir(ws, 0))
+    assert "sparse model" in str(exc.value)

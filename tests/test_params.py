@@ -56,11 +56,15 @@ def test_flag_surface_matches_reference(reference_root):
     import sys
     import types
 
+    inserted = []
+
     def stub(name, **attrs):
         mod = types.ModuleType(name)
         for key, value in attrs.items():
             setattr(mod, key, value)
-        sys.modules.setdefault(name, mod)
+        if name not in sys.modules:
+            sys.modules[name] = mod
+            inserted.append(name)
         return sys.modules[name]
 
     stub("wget")
@@ -90,18 +94,24 @@ def test_flag_surface_matches_reference(reference_root):
          read_cameras_binary=none, read_model=none)
     stub("third_party.colmap.scripts.python.read_dense", read_array=none)
 
-    import params as ref_params  # the reference's params.py
+    try:
+        import params as ref_params  # the reference's params.py
 
-    def flag_defaults(parser):
-        return {
-            action.option_strings[0]: action.default
-            for action in parser._actions
-            if action.option_strings and action.option_strings[0] != "-h"
-        }
+        def flag_defaults(parser):
+            return {
+                action.option_strings[0]: action.default
+                for action in parser._actions
+                if action.option_strings and action.option_strings[0] != "-h"
+            }
 
-    ref = ref_params.Video3dParamsParser()
-    ref.initialize()
-    ref_flags = flag_defaults(ref.parser)
+        ref = ref_params.Video3dParamsParser()
+        ref.initialize()
+        ref_flags = flag_defaults(ref.parser)
+    finally:
+        # don't leak empty stub modules into the rest of the pytest
+        # session (they would shadow real packages for later tests)
+        for name in inserted:
+            sys.modules.pop(name, None)
 
     our_flags = flag_defaults(Video3dParamsParser().parser)
 
@@ -113,7 +123,8 @@ def test_flag_surface_matches_reference(reference_root):
     }
     assert not mismatched, f"defaults differ (ref, ours): {mismatched}"
 
-    beyond_reference = {"--precision", "--profile_dir", "--resume"}
+    beyond_reference = {"--precision", "--profile_dir", "--resume",
+                        "--colmap_keep_going"}
     extras = set(our_flags) - set(ref_flags)
     assert extras <= beyond_reference, (
         f"undocumented extra flags: {sorted(extras - beyond_reference)}")

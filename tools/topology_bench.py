@@ -96,7 +96,7 @@ _COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
 # Sync form:   %all-reduce.1 = f32[5406467]{0} all-reduce(...)
 # Async form:  %ag = (f32[4,8], f32[32,8]) all-gather-start(...)
 #              ... all-gather-done(%ag)   <- counted via the start only
-_OP_RE = re.compile(r"\s(" + "|".join(_COLLECTIVES) + r")(?:-start)?\(")
+_OP_RE = re.compile(r"\s(" + "|".join(_COLLECTIVES) + r")(-start)?\(")
 _SHAPE_RE = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
 
 _DTYPE_BYTES = {
@@ -144,6 +144,15 @@ def audit_collectives(hlo_text: str):
         shapes = _SHAPE_RE.findall(line[:m.start()])
         if not shapes:
             continue
+        # async start ops in the older tuple form carry (operands...,
+        # results...) with the halves shape-identical (an all-reduce's
+        # result shape equals its operand shape) — count one half only,
+        # never both. The all-gather start form (shard, result) has
+        # differing halves and is handled by the max-size rule below.
+        if m.group(2) and len(shapes) % 2 == 0 and len(shapes) >= 2:
+            half = len(shapes) // 2
+            if shapes[:half] == shapes[half:]:
+                shapes = shapes[half:]
         sizes = [_shape_bytes(d, s) for d, s in shapes]
         if op == "all-gather" and len(sizes) >= 2 and max(sizes) > min(sizes):
             # async start tuple = (local shard, gathered result):
