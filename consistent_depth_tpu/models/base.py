@@ -29,18 +29,50 @@ class DepthModel:
     align: int = 1
     learning_rate: float = 1e-4
     lambda_view_baseline: float = 1.0
+    # key into utils.url_helpers.MODEL_URLS for the published pretrained
+    # checkpoint (reference adapters download on construction, e.g.
+    # mannequin_challenge_model.py:29-32); None = no published weights
+    checkpoint_url_key: Optional[str] = None
 
     def __init__(self, variables: Optional[FlaxVars] = None,
                  checkpoint: Optional[str] = None, seed: int = 0):
         self.module = self._make_module()
         if variables is None:
             variables = self._init_variables(seed)
-            if checkpoint and os.path.isfile(checkpoint):
+            if checkpoint and not os.path.exists(checkpoint):
+                fetched = self._maybe_fetch_checkpoint(checkpoint)
+                checkpoint = fetched or checkpoint
+            # exists, not isfile: monodepth2's released checkpoint is a
+            # DIRECTORY (encoder.pth + depth.pth)
+            if checkpoint and os.path.exists(checkpoint):
                 variables = self._load_checkpoint(checkpoint, variables)
             elif checkpoint:
                 print(f"[{type(self).__name__}] checkpoint '{checkpoint}' "
-                      "not found — using random initialization")
+                      "not found — using random initialization. Drop the "
+                      "published weights at that path (or set "
+                      "CDTPU_CHECKPOINT_DIR) to load them.")
         self.variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    def _maybe_fetch_checkpoint(self, checkpoint: str) -> Optional[str]:
+        """Download the published weights on a default-checkpoint miss
+        (reference behavior: adapters fetch on construction via
+        utils/url_helpers.py:10-34). Only the adapter's own default path
+        triggers a fetch — an explicit user path that doesn't exist is
+        left alone so the miss message names it. Offline failures fall
+        back to random init with the manual-drop instructions; set
+        CDTPU_NO_FETCH=1 to skip the attempt entirely."""
+        key = self.checkpoint_url_key
+        if (key is None
+                or checkpoint != getattr(self, "default_checkpoint", None)
+                or os.environ.get("CDTPU_NO_FETCH")):
+            return None
+        from ..utils import url_helpers
+
+        try:
+            return url_helpers.fetch_model(key)
+        except Exception as e:
+            print(f"[{type(self).__name__}] checkpoint fetch failed: {e}")
+            return None
 
     # -- to be provided by subclasses -------------------------------------
     def _make_module(self):

@@ -18,6 +18,7 @@ class MannequinChallengeModel(DepthModel):
     lambda_view_baseline = 0.1
 
     default_checkpoint = "checkpoints/mc.pth"
+    checkpoint_url_key = "mc"
 
     def __init__(self, variables=None, checkpoint=None, seed: int = 0):
         if checkpoint is None:

@@ -126,6 +126,7 @@ class MidasV2Model(DepthModel):
     lambda_view_baseline = 0.0001
 
     default_checkpoint = "checkpoints/midas2.pth"
+    checkpoint_url_key = "midas2"
 
     def __init__(self, variables=None, checkpoint=None, seed: int = 0):
         if checkpoint is None:

@@ -99,6 +99,7 @@ class Monodepth2Model(DepthModel):
     lambda_view_baseline = 1
 
     default_checkpoint = "checkpoints/monodepth2_mono+stereo_1024x320"
+    checkpoint_url_key = "monodepth2"
     feed_height = 320
     feed_width = 1024
 

@@ -8,9 +8,15 @@ random initialization or a user-provided path.
 from __future__ import annotations
 
 import os
+import shutil
 import urllib.error
 import urllib.request
 import zipfile
+
+# socket timeout for checkpoint downloads — without one, a network that
+# blackholes packets (rather than refusing) would hang model
+# construction indefinitely
+FETCH_TIMEOUT_S = float(os.environ.get("CDTPU_FETCH_TIMEOUT", "60"))
 
 
 def get_model_from_url(
@@ -27,7 +33,16 @@ def get_model_from_url(
     os.makedirs(os.path.dirname(download_path), exist_ok=True)
     try:
         print(f"Dowloading {url} to {download_path} ...")
-        urllib.request.urlretrieve(url, download_path)
+        try:
+            with urllib.request.urlopen(url, timeout=FETCH_TIMEOUT_S) as r, \
+                    open(download_path, "wb") as f:
+                shutil.copyfileobj(r, f)
+        except BaseException:
+            # never leave a partial download behind — it would be
+            # mistaken for a cache hit on the next construction
+            if os.path.exists(download_path):
+                os.remove(download_path)
+            raise
     except (urllib.error.URLError, OSError) as e:
         raise RuntimeError(
             f"Could not download '{url}' ({e}). This environment may be "

@@ -8,6 +8,9 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# hermetic: never attempt checkpoint downloads from tests (the gated
+# real-checkpoint tests check for already-present files instead)
+os.environ["CDTPU_NO_FETCH"] = "1"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
