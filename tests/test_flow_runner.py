@@ -245,3 +245,28 @@ def test_homography_alignment_fidelity_on_realistic_frames():
     epe = np.linalg.norm(
         composed[interior] - true_flow[interior], axis=-1)
     assert np.median(epe) < 0.5, (np.median(epe), epe.max())
+
+
+def test_homography_impact_real_photo():
+    """SIFT-for-SURF substitution quantified on a REAL photograph
+    (tools/homography_impact.py; reference pre-alignment:
+    optical_flow_flownet2_homography.py:66-107). Pins (a) sub-pixel H
+    recovery on real texture, (b) the composed-flow operator's
+    H-independence (why the detector choice cannot move the final flow
+    when registration succeeds), (c) the alignment's purpose: residual
+    motion well under a pixel."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "homography_impact",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "homography_impact.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    report = mod.main()
+
+    assert report["sift_H_corner_err_px_median"] < 0.5
+    assert report["composed_flow_delta_px"]["via_sift_H_p95"] < 0.01
+    assert report["motion_px_median"]["unaligned"] > 5
+    assert report["motion_px_median"]["after_sift_alignment"] < 0.2
