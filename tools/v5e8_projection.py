@@ -65,67 +65,51 @@ def measure_device(engine, state, dev_data, idx_mat, valid_mat,
     per-chip shapes (batch 4 pairs / (4, 2) frame chunks)."""
     steps, B = idx_mat.shape
 
-    t_epoch = timed(lambda: engine.train_epoch(
-        state, dev_data, idx_mat, valid_mat)[1]["loss"])
+    # train_epoch DONATES its state argument: thread the returned state
+    # through the timing chain instead of re-passing a deleted buffer
+    st, m = engine.train_epoch(state, dev_data, idx_mat, valid_mat)
+    fetch(m["loss"])  # compile + warmup
+    n_rep = 2
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        st, m = engine.train_epoch(st, dev_data, idx_mat, valid_mat)
+    fetch(m["loss"])
+    t_epoch = (time.perf_counter() - t0) / n_rep
+    state = st  # keep a LIVE state for the phases below
     train_step_s = t_epoch / steps
 
-    # dedup-eval phase 1: the frame-forward scan, exactly the engine's
-    # fwd_body shapes ((B, 2) chunks, train-mode BN threading)
+    # dedup-eval phase times from the REAL production program
+    # (engine.eval_epoch): its frame-forward chunk count is fixed by
+    # n_frames (fsteps = ceil(n_frames / 2B)) while its loss-scan
+    # length is idx.shape[0], so timing the same program at two
+    # pair-step counts solves for both per-step terms exactly —
+    # T(S) = fsteps * t_fwd + S * t_loss.
     per = 2 * B
     fsteps = max(1, -(-n_frames // per))
-    fslots = np.full((fsteps * per,), n_frames, np.int32)
-    fslots[:n_frames] = np.arange(n_frames, dtype=np.int32)
-    frame_idx = jnp.asarray(fslots.reshape(fsteps, B, 2))
 
-    @jax.jit
-    def fwd_epoch(st, data, frame_idx):
-        buf0 = jnp.zeros((n_frames + 1, H, W), jnp.float32)
+    def time_eval(idx, valid, n=2):
+        st, em = engine.eval_epoch(state, dev_data, idx, valid)
+        fetch(em["loss"])  # compile + warmup
+        t0 = time.perf_counter()
+        for _ in range(n):
+            st, em = engine.eval_epoch(state, dev_data, idx, valid)
+        fetch(em["loss"])
+        return (time.perf_counter() - t0) / n, em
 
-        def body(carry, slots):
-            s, buf = carry
-            images = data["frames"][jnp.minimum(slots, n_frames - 1)]
-            depth, new_stats = engine._forward(
-                s.params, s.batch_stats, images, None, train=True)
-            flat = depth.astype(jnp.float32).reshape((-1, H, W))
-            buf = buf.at[slots.reshape(-1)].set(flat)
-            return (s._replace(batch_stats=new_stats), buf), None
-
-        (s, buf), _ = jax.lax.scan(body, (st, buf0), frame_idx)
-        return buf
-
-    buf = fwd_epoch(state, dev_data, frame_idx)
-    eval_fwd_step_s = timed(
-        lambda: fwd_epoch(state, dev_data, frame_idx)) / fsteps
-
-    # dedup-eval phase 2: loss-only scan over the pair batches
-    from consistent_depth_tpu.ops.losses import joint_loss
-
-    @jax.jit
-    def loss_epoch(st, data, buf, idx, valid):
-        def body(carry, step_inputs):
-            step_idx, step_valid = step_inputs
-            depth = buf[data["pair_slots"][step_idx]]
-            loss, batch_losses = joint_loss(
-                depth, data["intrinsics"][step_idx],
-                data["extrinsics"][step_idx], data["flows"][step_idx],
-                data["masks"][step_idx], engine.weights,
-                params=carry.params, params_init=engine.params_init,
-                valid=step_valid)
-            return carry, {"loss": loss, **batch_losses}
-
-        _, metrics = jax.lax.scan(
-            body, st, (jnp.asarray(idx), jnp.asarray(valid)))
-        return metrics["loss"]
-
-    eval_loss_step_s = timed(
-        lambda: loss_epoch(state, dev_data, buf, idx_mat, valid_mat)) / steps
+    t_full, em = time_eval(idx_mat, valid_mat)
+    s_red = max(1, steps // 4)
+    t_red, _ = time_eval(idx_mat[:s_red], valid_mat[:s_red])
+    eval_loss_step_s = max((t_full - t_red) / (steps - s_red), 1e-4)
+    eval_fwd_step_s = max(
+        (t_full - steps * eval_loss_step_s) / fsteps, 1e-4)
 
     # fetch of the eval depth buffer at its production dtype (f16 under
-    # the bf16 policy)
-    dep16 = jax.jit(lambda b: b[:n_frames].astype(jnp.float16))(buf)
-    fetch(dep16)
+    # the bf16 policy): em["depth_frames"] from the last eval execution
+    # has never been fetched (device_get caches fetched values on the
+    # jax.Array, so a re-fetch of a warmed array would time as ~0).
+    fetch(em["loss"])  # barrier: compute done, timing transfer only
     t0 = time.perf_counter()
-    fetch(dep16)
+    fetch(em["depth_frames"])
     fetch_eval_s = time.perf_counter() - t0
 
     return {
@@ -134,7 +118,7 @@ def measure_device(engine, state, dev_data, idx_mat, valid_mat,
         "eval_loss_step_s": eval_loss_step_s,
         "fetch_eval_s": fetch_eval_s,
         "fsteps": fsteps,
-    }
+    }, state
 
 
 def measure_host(engine, state, data_dict, n_frames, H, W, n_pairs,
@@ -253,7 +237,7 @@ def main():
     idx_mat = order.reshape(steps, batch).astype(np.int32)
     valid_mat = np.ones_like(idx_mat, np.float32)
 
-    dev = measure_device(
+    dev, state = measure_device(
         engine, state, dev_data, idx_mat, valid_mat, n_frames, H, W)
     host = measure_host(
         engine, state, data, n_frames, H, W, P, steps, batch)
