@@ -85,6 +85,8 @@ def traced_matmul_flops(fn, *args) -> float:
     closed = jax.make_jaxpr(fn)(*args)
 
     def conv_eqn_flops(eqn) -> float:
+        if not eqn.outvars:  # e.g. effect-only eqns inside scan bodies
+            return 0.0
         out = eqn.outvars[0].aval.shape
         if eqn.primitive.name == "conv_general_dilated":
             rhs = eqn.invars[1].aval.shape

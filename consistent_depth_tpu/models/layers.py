@@ -265,6 +265,31 @@ class BatchNormStats(nn.Module):
         return ra_mean, ra_var
 
 
+def fused_batch_norm_pure(x, ra_mean, ra_var, train: bool,
+                          momentum: float = 0.1, eps: float = 1e-5):
+    """Purely functional affine-free torch BatchNorm over channel-
+    concatenated features: takes the concatenated running stats as
+    ARRAYS and returns ``(y, new_ra_mean, new_ra_var)`` instead of
+    writing flax variables — usable inside ``lax.scan`` bodies (the
+    scanned inception runs in models/hourglass.py). Math identical to
+    :func:`fused_batch_norm`."""
+    if train:
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(0, 1, 2))
+        mean_sq = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
+        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        unbiased = var * (n / max(n - 1, 1))
+        new_mean = (1 - momentum) * ra_mean + momentum * mean
+        new_var = (1 - momentum) * ra_var + momentum * unbiased
+    else:
+        mean, var = ra_mean, ra_var
+        new_mean, new_var = ra_mean, ra_var
+    y = (x - mean.astype(x.dtype)) * jax.lax.rsqrt(
+        var.astype(x.dtype) + jnp.asarray(eps, x.dtype))
+    return y, new_mean, new_var
+
+
 def fused_batch_norm(x, stats, train: bool, initializing: bool,
                      momentum: float = 0.1, eps: float = 1e-5):
     """Affine-free torch BatchNorm over channel-concatenated features
@@ -275,27 +300,18 @@ def fused_batch_norm(x, stats, train: bool, initializing: bool,
     of one per branch) is exactly the per-slice torch computation.
     ``stats`` is the list of (ra_mean, ra_var) variable pairs in channel
     order; running stats are updated slice-wise in train mode."""
-    if train:
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=(0, 1, 2))
-        mean_sq = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
-        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
-        n = x.shape[0] * x.shape[1] * x.shape[2]
-        unbiased = var * (n / max(n - 1, 1))
-        if not initializing:
-            off = 0
-            for ra_mean, ra_var in stats:
-                c = ra_mean.value.shape[0]
-                ra_mean.value = ((1 - momentum) * ra_mean.value
-                                 + momentum * mean[off:off + c])
-                ra_var.value = ((1 - momentum) * ra_var.value
-                                + momentum * unbiased[off:off + c])
-                off += c
-    else:
-        mean = jnp.concatenate([m.value for m, _ in stats])
-        var = jnp.concatenate([v.value for _, v in stats])
-    return (x - mean.astype(x.dtype)) * jax.lax.rsqrt(
-        var.astype(x.dtype) + jnp.asarray(eps, x.dtype))
+    mean = jnp.concatenate([m.value for m, _ in stats])
+    var = jnp.concatenate([v.value for _, v in stats])
+    y, new_mean, new_var = fused_batch_norm_pure(
+        x, mean, var, train, momentum=momentum, eps=eps)
+    if train and not initializing:
+        off = 0
+        for ra_mean, ra_var in stats:
+            c = ra_mean.value.shape[0]
+            ra_mean.value = new_mean[off:off + c]
+            ra_var.value = new_var[off:off + c]
+            off += c
+    return y
 
 
 class TorchConv(nn.Module):

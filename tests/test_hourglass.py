@@ -106,3 +106,44 @@ def test_export_roundtrip(twin_and_flax, tmp_path):
     for k in keys:
         np.testing.assert_allclose(
             sd[k].numpy(), ref_sd[k].numpy(), rtol=1e-6, atol=1e-7)
+
+
+def test_scanned_runs_match_unrolled():
+    """The scanned repeated-block path (hourglass.SCAN_REPEATED_BLOCKS;
+    consecutive identical inception configs execute as one lax.scan
+    over stacked params) must produce the same parameter tree, the same
+    init values, and fp-noise-identical outputs and BN running stats as
+    the unrolled path — it is a TPU codegen-size optimization, not a
+    semantic change (see PERF.md round-4 compile section)."""
+    from consistent_depth_tpu.models import hourglass
+
+    x = jnp.asarray(
+        np.random.default_rng(0).random((2, 32, 32, 3), np.float32))
+    model = HourglassModel()
+
+    def run(scan):
+        hourglass.set_scan_repeated_blocks(scan)
+        try:
+            v = model.init(jax.random.PRNGKey(0), x, train=False)
+            (pred, conf), mut = model.apply(
+                v, x, train=True, mutable=["batch_stats"])
+            return v, pred, conf, mut
+        finally:
+            hourglass.set_scan_repeated_blocks(True)
+
+    v_s, pred_s, conf_s, mut_s = run(True)
+    v_u, pred_u, conf_u, mut_u = run(False)
+
+    assert (jax.tree_util.tree_structure(v_s)
+            == jax.tree_util.tree_structure(v_u))
+    for a, b in zip(jax.tree_util.tree_leaves(v_s),
+                    jax.tree_util.tree_leaves(v_u)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(
+        np.asarray(pred_s), np.asarray(pred_u), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(conf_s), np.asarray(conf_u), atol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(mut_s),
+                    jax.tree_util.tree_leaves(mut_u)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5)

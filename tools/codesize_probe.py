@@ -10,6 +10,9 @@ Variants (cumulative structure, independently toggleable):
     no_s2d     train step with the space-to-depth conv path disabled
     no_splat   train step with the matmul-splat loss backward disabled
     no_both    both disabled
+    no_scan    train step with the scanned inception runs disabled
+    scan_all   scanned runs at every resolution (incl. the 112x192
+               _B,_B run the production gate excludes)
 
 Usage: python tools/codesize_probe.py [--topology v5e:1x1]
            [--variants full,no_s2d,...]
@@ -35,8 +38,8 @@ from topology_bench import abstract_inputs, build_topology  # noqa: E402
 N_FRAMES, H, W, N_PAIRS = 244, 224, 384, 715
 
 
-def make_engine(mesh, s2d: bool, splat: bool):
-    from consistent_depth_tpu.models import layers
+def make_engine(mesh, s2d: bool, splat: bool, scan_px: int = 4096):
+    from consistent_depth_tpu.models import hourglass, layers
     from consistent_depth_tpu.models.mannequin_challenge import (
         MannequinChallengeModel,
     )
@@ -47,6 +50,8 @@ def make_engine(mesh, s2d: bool, splat: bool):
     )
 
     layers.set_s2d_enabled(s2d)
+    hourglass.set_scan_repeated_blocks(scan_px > 0)
+    hourglass.SCAN_MAX_PIXELS = scan_px if scan_px > 0 else 4096
     engine = TrainingEngine(
         MannequinChallengeModel(checkpoint="", seed=0),
         create_optimizer("Adam", 4e-4),
@@ -68,7 +73,9 @@ def analyze(compiled, dt):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--topology", default="v5e:1x1")
+    # v5e:2x2 is the smallest valid v5e topology (1x1 violates the
+    # default 2x2x1 chips_per_host_bounds)
+    ap.add_argument("--topology", default="v5e:2x2")
     ap.add_argument("--variants",
                     default="fwd,fwd_loss,full,no_s2d,no_splat,no_both")
     ap.add_argument("--dump-hlo", default="")
@@ -87,7 +94,8 @@ def main():
     for variant in args.variants.split(","):
         s2d = variant not in ("no_s2d", "no_both")
         splat = variant not in ("no_splat", "no_both")
-        engine = make_engine(mesh, s2d=s2d, splat=splat)
+        scan_px = {"no_scan": 0, "scan_all": 1 << 62}.get(variant, 4096)
+        engine = make_engine(mesh, s2d=s2d, splat=splat, scan_px=scan_px)
         state, data, idx, valid, cap = abstract_inputs(
             engine, n_chips, N_FRAMES, H, W, N_PAIRS,
             steps=int(np.ceil(N_PAIRS / batch)))
@@ -106,7 +114,7 @@ def main():
         t0 = time.perf_counter()
         compiled = lowered.compile()
         row = analyze(compiled, time.perf_counter() - t0)
-        row["s2d"], row["splat"] = s2d, splat
+        row["s2d"], row["splat"], row["scan_px"] = s2d, splat, scan_px
         report[variant] = row
         print(f"[probe] {variant}: {json.dumps(row)}", file=sys.stderr)
         if args.dump_hlo:
