@@ -114,10 +114,13 @@ class TrainingEngine:
         # validation loop re-runs the backbone per pair with BN running
         # stats drifting batch-to-batch (torch train()-mode forward,
         # depth_fine_tuning.py:246-257), so the per-pair losses differ
-        # from paired eval at BN-stat-drift level — below the bf16
-        # compute noise but not bitwise, hence the same gating as the
-        # other approximate TPU paths: on under the bf16 production
-        # policy, off (exact paired eval) for f32/parity runs.
+        # from paired eval at BN-batch-composition level — MEASURED at
+        # demo scale (tools/dedup_deviation.py, 244 frames/715 pairs,
+        # bf16): mean loss rel 7.7e-5 at random init / 1e-6 after 3
+        # epochs, per-pair disparity deltas p95 < 0.9%. Not bitwise,
+        # hence the same gating as the other approximate TPU paths: on
+        # under the bf16 production policy, off (exact paired eval) for
+        # f32/parity runs.
         self.eval_dedup = (precision == "bf16") if eval_dedup is None \
             else eval_dedup
         self._train_step = self._compile(self._train_step_impl, donate=True)

@@ -185,7 +185,15 @@ def test_dedup_keeps_paired_contract(data):
     """Same metric keys/shapes as the paired eval, and the losses agree
     at BN-batch-composition level (the two passes normalize each frame
     against different batch statistics — random-init nets make this the
-    worst case; trained nets sit much closer)."""
+    worst case; trained nets sit much closer).
+
+    Band calibration (round 4): this tiny workload (6 frames, 32x48,
+    random init) measures mean-loss rel 0.0216; the band below is ~2.3x
+    that. At DEMO scale on the chip (tools/dedup_deviation.py, 244
+    frames / 715 pairs, bf16) the same comparison measures mean-loss
+    rel 7.7e-5 at random init and 1e-6 after 3 training epochs, with
+    per-pair disparity-loss deltas p95 < 0.9% — the production
+    deviation is far inside this gate."""
     P = data["pair_ids"].shape[0]
     idx, valid = _pair_batches(P, 4)
 
@@ -202,7 +210,7 @@ def test_dedup_keeps_paired_contract(data):
     np.testing.assert_array_equal(md["frames_seen"], mp["frames_seen"])
     assert np.isfinite(md["loss"]).all()
     np.testing.assert_allclose(
-        md["loss"].mean(), mp["loss"].mean(), rtol=0.25)
+        md["loss"].mean(), mp["loss"].mean(), rtol=0.05)
 
 
 def test_dedup_policy_default():
