@@ -186,18 +186,100 @@ def _s2d_factor(H: int, W: int, C_in: int, k: int, C_out: int) -> int:
     return best_s
 
 
+def _conv_raw(w, x, s: int, stride: int, padding: int, dilation: int):
+    """One conv under formulation ``s`` (0 = XLA native, >0 = the
+    space-to-depth reformulation), dtypes already cast, no bias."""
+    if s:
+        w2, kk, pad = s2d_kernel(w, s)
+        y = jax.lax.conv_general_dilated(
+            space_to_depth(x, s), w2, (1, 1),
+            [(pad, kk - 1 - pad), (pad, kk - 1 - pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return depth_to_space(y, s)
+    return jax.lax.conv_general_dilated(
+        x, w, (stride, stride), [(padding, padding)] * 2,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _bwd_policy(H: int, W: int, C_in: int, k: int, C_out: int,
+                s_fwd: int) -> Tuple[int, int]:
+    """Measured BACKWARD formulation policy (tools/bwd_mxu_bench.py on
+    v5e, bf16) for the eligible stride-1 same-padding odd-k conv class.
+
+    Returns ``(gx_s, gw_s)``:
+
+    - ``gx_s``: -1 — compute grad-input by autodiff through the
+      forward's formulation (inherit); >= 0 — compute it as its OWN
+      stride-1 same-padding conv of the cotangent with the
+      flipped/transposed kernel under s2d factor ``gx_s`` (0 = native).
+      The re-policied conv sees the gx geometry: lanes = C_in,
+      contraction depth = C_out.
+    - ``gw_s``: -1 — inherit; 0 — grad-weight through the NATIVE conv
+      (the s2d grad-weight computes the inflated kernel's gradient and
+      scatter-adds it back onto the compact taps — measured slower for
+      every class the forward policy reformulates).
+
+    Placeholder until the full measured table lands: inherit everywhere
+    (identical programs to plain autodiff of the forward).
+    """
+    return -1, -1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _conv_override(cfg, w, x):
+    """Conv whose forward/grad-input/grad-weight formulations are
+    chosen independently. cfg = (s_fwd, gx_s, gw_s, padding) with the
+    gx_s/gw_s conventions of :func:`_bwd_policy` (stride 1, dilation 1,
+    odd k, symmetric same padding — the s2d-eligible class)."""
+    s_fwd, _, _, padding = cfg
+    return _conv_raw(w, x, s_fwd, 1, padding, 1)
+
+
+def _conv_override_fwd(cfg, w, x):
+    return _conv_override(cfg, w, x), (w, x)
+
+
+def _conv_override_bwd(cfg, res, ct):
+    s_fwd, gx_s, gw_s, padding = cfg
+    w, x = res
+
+    if gx_s < 0:
+        _, pull = jax.vjp(
+            lambda x_: _conv_raw(w, x_, s_fwd, 1, padding, 1), x)
+        (dx,) = pull(ct)
+    else:
+        # grad-input as its own conv: dL/dx[r] = sum_q w[q] ct[r-q+p]
+        # == same-padding conv of ct with the flipped kernel carrying
+        # swapped channel roles (k, k, C_out, C_in); exact for the
+        # eligible class, under its own s2d factor gx_s
+        wf = w[::-1, ::-1].transpose(0, 1, 3, 2)
+        dx = _conv_raw(wf, ct, gx_s, 1, padding, 1)
+
+    s_gw = s_fwd if gw_s < 0 else gw_s
+    _, pull = jax.vjp(
+        lambda w_: _conv_raw(w_, x, s_gw, 1, padding, 1), w)
+    (dw,) = pull(ct)
+    return dw, dx
+
+
+_conv_override.defvjp(_conv_override_fwd, _conv_override_bwd)
+
+
 def conv_compute(kernel, bias, x, stride: int = 1, padding: int = 0,
                  dilation: int = 1):
     """The conv execution path shared by :class:`TorchConv` and fused
     call sites (e.g. the hourglass's merged prediction heads): casts to
-    the compute dtype and picks the space-to-depth fast path when the
-    measured policy says so."""
+    the compute dtype and picks the space-to-depth fast path — and,
+    independently, the backward formulations — when the measured
+    policies say so."""
     k = kernel.shape[0]
     dt = _COMPUTE_DTYPE or x.dtype
     x = x.astype(dt)
     w = kernel.astype(dt)
 
     s = 0
+    gx_s = gw_s = -1
     # odd kernels only: _s2d_gather_indices' tap-range formula
     # (hi = (s-1+p)//s) assumes symmetric padding p = (k-1)/2 exactly,
     # which only holds for odd k — an even kernel would silently drop
@@ -207,19 +289,15 @@ def conv_compute(kernel, bias, x, stride: int = 1, padding: int = 0,
             and padding == (k - 1) // 2 and x.ndim == 4):
         s = _s2d_factor(x.shape[1], x.shape[2], x.shape[-1], k,
                         kernel.shape[-1])
+        if _S2D_ENABLED:
+            gx_s, gw_s = _bwd_policy(
+                x.shape[1], x.shape[2], x.shape[-1], k,
+                kernel.shape[-1], s)
 
-    if s:
-        w2, kk, pad = s2d_kernel(w, s)
-        y = jax.lax.conv_general_dilated(
-            space_to_depth(x, s), w2, (1, 1),
-            [(pad, kk - 1 - pad), (pad, kk - 1 - pad)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        y = depth_to_space(y, s)
+    if gx_s >= 0 or gw_s >= 0:
+        y = _conv_override((s, gx_s, gw_s, padding), w, x)
     else:
-        y = jax.lax.conv_general_dilated(
-            x, w, (stride, stride), [(padding, padding)] * 2,
-            rhs_dilation=(dilation, dilation),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = _conv_raw(w, x, s, stride, padding, dilation)
     if bias is not None:
         y = y + bias.astype(dt)
     return y

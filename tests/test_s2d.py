@@ -81,3 +81,45 @@ def test_torchconv_strided_path_unchanged():
     params = mod.init(jax.random.PRNGKey(1), x)
     y = mod.apply(params, x)
     assert y.shape == (1, 8, 8, 6)
+
+
+@pytest.mark.parametrize("gx_s,gw_s", [
+    (-1, 0),   # grad-weight through the native conv, gx inherited
+    (0, -1),   # grad-input as a native flipped-kernel conv
+    (2, 0),    # re-policied s2d grad-input + native grad-weight
+    (0, 0),    # both overridden to native
+])
+def test_backward_override_matches_autodiff(gx_s, gw_s, monkeypatch):
+    """The per-direction backward formulation override (custom VJP in
+    conv_compute) must reproduce plain autodiff's gradients exactly up
+    to fp reassociation, for every override combination, on a shape
+    where the forward policy engages s2d."""
+    H, W, Ci, k, Co = 112, 192, 8, 7, 4
+    pad = (k - 1) // 2
+    assert layers._s2d_factor(H, W, Ci, k, Co) > 0
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, H, W, Ci)) * 0.5, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, k, Ci, Co)) * 0.1, jnp.float32)
+
+    def f(w_, x_):
+        return jnp.sum(jnp.sin(
+            layers.conv_compute(w_, None, x_, stride=1, padding=pad)))
+
+    v_ref, g_ref = jax.value_and_grad(f, argnums=(0, 1))(w, x)
+
+    monkeypatch.setattr(layers, "_bwd_policy", lambda *a: (gx_s, gw_s))
+    v_ov, g_ov = jax.value_and_grad(f, argnums=(0, 1))(w, x)
+
+    # identical forward formulation -> identical value
+    np.testing.assert_allclose(float(v_ov), float(v_ref), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ov),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-4)
+
+
+def test_backward_override_default_is_inherit():
+    """Until the measured backward table lands, the policy must be
+    inherit-everywhere (the custom-VJP path stays cold)."""
+    assert layers._bwd_policy(224, 384, 64, 7, 16, 4) == (-1, -1)

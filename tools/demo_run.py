@@ -26,7 +26,8 @@ sys.path.insert(0, pjoin(_repo, "tests"))
 import numpy as np
 
 
-def build_dataset(path: str, num_frames: int, H: int, W: int):
+def build_dataset(path: str, num_frames: int, H: int, W: int,
+                  write_flow: bool = True):
     """Reference-layout dataset dir with video + COLMAP stage outputs
     pre-populated (the demo's precomputed-COLMAP configuration) and
     exact flows for every two-way hierarchical2 pair."""
@@ -73,10 +74,11 @@ def build_dataset(path: str, num_frames: int, H: int, W: int):
         [frame_sampling.SamplePairsOptions(
             frame_sampling.SamplePairsMode.HIERARCHICAL2)],
         fr, two_way=True)
-    for (i, j) in pairs:
-        image_io.save_raw_float32_image(
-            pjoin(path, "flow", f"flow_{i:06d}_{j:06d}.raw"),
-            synthetic.exact_flow(scene, i, j))
+    if write_flow:
+        for (i, j) in pairs:
+            image_io.save_raw_float32_image(
+                pjoin(path, "flow", f"flow_{i:06d}_{j:06d}.raw"),
+                synthetic.exact_flow(scene, i, j))
     return time.perf_counter() - t0, len(pairs)
 
 
@@ -88,24 +90,71 @@ def main():
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--precision", default="bf16")
+    ap.add_argument(
+        "--native_flow", action="store_true",
+        help="do NOT pre-populate flow/ — the pipeline's Compute-flow "
+        "stage drives the native FlowNet2 backend on the chip (the "
+        "reference demo's FlowNet2 configuration; weights random-init "
+        "in this offline env, so this measures TIMING, not flow "
+        "quality — near-zero random flows keep every pair through the "
+        "consistency filter)")
     args = ap.parse_args()
+
+    # honor JAX_PLATFORMS=cpu (smoke runs) even though this
+    # environment's sitecustomize boot hook force-selects the axon TPU
+    # platform via a config update that overrides the env var
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     H, W = args.size
     os.makedirs(args.path, exist_ok=True)
 
+    if args.native_flow:
+        # Place a random-init full-FlowNet2 torch checkpoint in the
+        # cache so the pipeline's Compute-flow stage takes the NATIVE
+        # path end-to-end (discovery -> torch import -> JAX cascade —
+        # the chain a user with the real flownet2.pth exercises).
+        # Random weights time identically to real ones.
+        ckpt_dir = os.environ.setdefault(
+            "CDTPU_CHECKPOINT_DIR", pjoin(args.path, "checkpoints"))
+        ckpt = pjoin(ckpt_dir, "flownet2.pth")
+        if not os.path.isfile(ckpt):
+            t0 = time.perf_counter()
+            import jax
+            import jax.numpy as jnp
+
+            from consistent_depth_tpu.flow.flownet import FlowNet2
+            from consistent_depth_tpu.models import torch_import
+
+            z = jnp.zeros((1, 64, 64, 3))
+            variables = jax.eval_shape(
+                lambda: FlowNet2().init(jax.random.PRNGKey(0), z, z))
+            variables = jax.tree_util.tree_map(
+                lambda s: np.zeros(s.shape, s.dtype), variables)
+            os.makedirs(ckpt_dir, exist_ok=True)
+            torch_import.save_torch_checkpoint(ckpt, variables)
+            print(json.dumps({
+                "stage": "make_flownet2_ckpt",
+                "s": round(time.perf_counter() - t0, 1)}), flush=True)
+
     if not os.path.isfile(pjoin(args.path, "frames.txt")):
-        build_s, n_flows = build_dataset(args.path, args.frames, H, W)
+        build_s, n_flows = build_dataset(
+            args.path, args.frames, H, W,
+            write_flow=not args.native_flow)
         print(json.dumps({"stage": "build_dataset", "s": round(build_s, 1),
                           "directed_flows": n_flows}), flush=True)
     else:
         print(json.dumps({"stage": "build_dataset", "s": 0.0,
                           "note": "cached"}), flush=True)
 
-    from consistent_depth_tpu.cli.main import _enable_persistent_jit_cache
     from consistent_depth_tpu.cli.params import Video3dParamsParser
     from consistent_depth_tpu.pipeline.process import DatasetProcessor
+    from consistent_depth_tpu.utils.jit_cache import (
+        enable_persistent_jit_cache,
+    )
 
-    _enable_persistent_jit_cache()
+    enable_persistent_jit_cache()
 
     params = Video3dParamsParser().parse([
         "--path", args.path,
