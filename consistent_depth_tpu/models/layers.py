@@ -217,13 +217,34 @@ def _bwd_policy(H: int, W: int, C_in: int, k: int, C_out: int,
       contraction depth = C_out.
     - ``gw_s``: -1 — inherit; 0 — grad-weight through the NATIVE conv
       (the s2d grad-weight computes the inflated kernel's gradient and
-      scatter-adds it back onto the compact taps — measured slower for
-      every class the forward policy reformulates).
+      scatter-adds it back onto the compact taps).
 
-    Placeholder until the full measured table lands: inherit everywhere
-    (identical programs to plain autodiff of the forward).
+    Measured rule (full 44-shape hourglass table, PERF.md):
+
+    - grad-input: native wins ONLY for k=3 with C_out >= 16 (A.3 1.6x,
+      BC.3 1.5x; the s2d inflation is worst there, kk^2 s^2/k^2 = 4 —
+      but a single-channel head like pred3 still gains more from s2d
+      lanes than the inflation costs); everywhere else the inherited
+      s2d formulation wins (stem7 3.6x, A.11 3.8x).
+      Re-expressing gx as its own conv with an independently-chosen
+      factor measured IDENTICAL to inheriting the forward's (gx_repol
+      column) — autodiff's transpose already yields that conv — so
+      gx_s is only ever 0 (native) or -1 (inherit).
+    - grad-weight: the s2d kernel-gradient is kk^2 s^4/k^2 times the
+      compact one plus a scatter-add back; native wins for k=3
+      (2-3.5x), for s_fwd=4 (the s^4=256x blow-up: stem7 3.3x,
+      A.7 1.26x), and for k in {5,7} with C_in >= 64 (BC.7/BB.5,
+      ~1.1-1.2x); inherited s2d wins for k=11 (A.11 1.6x, BC.11 1.2x)
+      and k in {5,7} with C_in = 32 (B.5 1.3x, B.7 1.5x).
     """
-    return -1, -1
+    if s_fwd <= 0:
+        return -1, -1
+    # k=3 native-gx exception: a tiny C_out (pred3's single-channel
+    # head) gives s2d a 128x lane gain that beats the 4x inflation
+    gx_s = 0 if (k == 3 and C_out >= 16) else -1
+    gw_s = 0 if (k == 3 or s_fwd == 4
+                 or (k in (5, 7) and C_in >= 64)) else -1
+    return gx_s, gw_s
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))

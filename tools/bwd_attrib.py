@@ -33,6 +33,11 @@ def slope_timed(make_loop, iters=8):
 
 
 def main():
+    from consistent_depth_tpu.utils.jit_cache import (
+        enable_persistent_jit_cache,
+    )
+
+    enable_persistent_jit_cache()
     from consistent_depth_tpu.models import layers
     from consistent_depth_tpu.models.mannequin_challenge import (
         MannequinChallengeModel,

@@ -43,6 +43,11 @@ def main():
     ap.add_argument("--dtype", default="bf16")
     args = ap.parse_args()
 
+    from consistent_depth_tpu.utils.jit_cache import (
+        enable_persistent_jit_cache,
+    )
+
+    enable_persistent_jit_cache()
     from consistent_depth_tpu.models.mannequin_challenge import (
         MannequinChallengeModel,
     )

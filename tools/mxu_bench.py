@@ -139,6 +139,11 @@ def main():
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
+    from consistent_depth_tpu.utils.jit_cache import (
+        enable_persistent_jit_cache,
+    )
+
+    enable_persistent_jit_cache()
     dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
     # (tag, H, W, C_in, k, C_out, count_in_net) — every unique conv shape

@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--no-s2d", action="store_true")
     args = ap.parse_args()
 
+    from consistent_depth_tpu.utils.jit_cache import (
+        enable_persistent_jit_cache,
+    )
+
+    enable_persistent_jit_cache()
     from consistent_depth_tpu.models import layers
     from consistent_depth_tpu.models.mannequin_challenge import (
         MannequinChallengeModel,
