@@ -15,6 +15,7 @@ module is the host-side orchestration only.
 
 from __future__ import annotations
 
+import concurrent.futures
 import json
 import math
 import os
@@ -362,19 +363,30 @@ class DepthFineTuner:
                 print(f"Epoch {epoch} took "
                       f"{now - max(t0, last_done[0]):.2f}s.")
                 last_done[0] = now
+                # the checkpoint export (param fetch + torch-layout
+                # serialize) is independent of the eval artifacts, so
+                # it runs on a worker thread under the eval writes
+                ckpt_job = None
+                if ckpt_state is not None:
+                    def export_ckpt():
+                        self.save_checkpoint(
+                            pjoin(self.checkpoints_dir,
+                                  f"{epoch + 1:04d}.pth"),
+                            state=ckpt_state)
+                        if getattr(self.params, "resume", False):
+                            from . import checkpoints as ckpt
+
+                            ckpt.save_full_state(
+                                pjoin(self.checkpoints_dir,
+                                      f"full_{epoch + 1:04d}"),
+                                ckpt_state, epoch + 1)
+                    ckpt_job = concurrent.futures.ThreadPoolExecutor(1)
+                    ckpt_fut = ckpt_job.submit(export_ckpt)
                 if val_proc is not None:
                     val_proc()
-                if ckpt_state is not None:
-                    self.save_checkpoint(
-                        pjoin(self.checkpoints_dir, f"{epoch + 1:04d}.pth"),
-                        state=ckpt_state)
-                    if getattr(self.params, "resume", False):
-                        from . import checkpoints as ckpt
-
-                        ckpt.save_full_state(
-                            pjoin(self.checkpoints_dir,
-                                  f"full_{epoch + 1:04d}"),
-                            ckpt_state, epoch + 1)
+                if ckpt_job is not None:
+                    ckpt_fut.result()
+                    ckpt_job.shutdown()
 
             pending.append(process)
             run_pending(in_flight)
@@ -472,13 +484,28 @@ class DepthFineTuner:
             self.vis_depth_scale = float(inv_frames[first_slots].max())
         import cv2
 
-        for slot in np.nonzero(seen)[0]:
+        # per-epoch host time at 8 chips is the fine-tune's critical
+        # path (PERF.md projection: host 4.9 s/epoch > device 2.6 s),
+        # so the ~2N independent artifact writes run on a thread pool —
+        # numpy/cv2 release the GIL for the colormap/encode work
+        def write_frame(slot):
             index = int(data.frame_ids[slot])
             fn_pre = pjoin(eval_dir, f"depth_{index:06d}{suf}")
             image_io.save_raw_float32_image(fn_pre + ".raw", inv_frames[slot])
             vis = visualization.visualize_depth(
                 inv_frames[slot], depth_min=0, depth_max=self.vis_depth_scale)
             cv2.imwrite(fn_pre + ".png", vis)
+
+        slots = np.nonzero(seen)[0]
+        if len(slots) > 1:
+            # warm the colormap LUT once before fanning out
+            visualization.visualize_depth(np.ones((2, 2), np.float32),
+                                          depth_min=0, depth_max=1)
+            with concurrent.futures.ThreadPoolExecutor(8) as pool:
+                list(pool.map(write_frame, slots))
+        else:
+            for slot in slots:
+                write_frame(slot)
 
         loss_meta = {
             name: np.array(list(values.values()))
