@@ -53,6 +53,20 @@ class DepthModel:
                       "CDTPU_CHECKPOINT_DIR) to load them.")
         self.variables = jax.tree_util.tree_map(jnp.asarray, variables)
 
+    def _default_checkpoint_path(self) -> Optional[str]:
+        """The adapter's default checkpoint path, relocated under
+        CDTPU_CHECKPOINT_DIR when that is set (same cache resolution as
+        the flow backend, flow/backends.py:141). ``default_checkpoint``
+        class attributes are relative to the stock ``checkpoints/``
+        cache dir."""
+        default = getattr(self, "default_checkpoint", None)
+        if default is None:
+            return None
+        ckpt_dir = os.environ.get("CDTPU_CHECKPOINT_DIR")
+        if ckpt_dir:
+            return os.path.join(ckpt_dir, os.path.basename(default))
+        return default
+
     def _maybe_fetch_checkpoint(self, checkpoint: str) -> Optional[str]:
         """Download the published weights on a default-checkpoint miss
         (reference behavior: adapters fetch on construction via
@@ -63,7 +77,7 @@ class DepthModel:
         CDTPU_NO_FETCH=1 to skip the attempt entirely."""
         key = self.checkpoint_url_key
         if (key is None
-                or checkpoint != getattr(self, "default_checkpoint", None)
+                or checkpoint != self._default_checkpoint_path()
                 or os.environ.get("CDTPU_NO_FETCH")):
             return None
         from ..utils import url_helpers

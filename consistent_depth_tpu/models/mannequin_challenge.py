@@ -22,7 +22,7 @@ class MannequinChallengeModel(DepthModel):
 
     def __init__(self, variables=None, checkpoint=None, seed: int = 0):
         if checkpoint is None:
-            checkpoint = self.default_checkpoint
+            checkpoint = self._default_checkpoint_path()
         super().__init__(variables=variables, checkpoint=checkpoint, seed=seed)
 
     def _make_module(self):

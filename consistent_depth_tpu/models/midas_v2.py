@@ -130,7 +130,7 @@ class MidasV2Model(DepthModel):
 
     def __init__(self, variables=None, checkpoint=None, seed: int = 0):
         if checkpoint is None:
-            checkpoint = self.default_checkpoint
+            checkpoint = self._default_checkpoint_path()
         super().__init__(variables=variables, checkpoint=checkpoint, seed=seed)
 
     def _make_module(self):

@@ -106,7 +106,7 @@ class Monodepth2Model(DepthModel):
     def __init__(self, variables=None, checkpoint=None, seed: int = 0,
                  feed_size=None):
         if checkpoint is None:
-            checkpoint = self.default_checkpoint
+            checkpoint = self._default_checkpoint_path()
         if feed_size is not None:
             self.feed_height, self.feed_width = feed_size
         super().__init__(variables=variables, checkpoint=checkpoint, seed=seed)

@@ -382,11 +382,15 @@ class DepthFineTuner:
                                 ckpt_state, epoch + 1)
                     ckpt_job = concurrent.futures.ThreadPoolExecutor(1)
                     ckpt_fut = ckpt_job.submit(export_ckpt)
-                if val_proc is not None:
-                    val_proc()
-                if ckpt_job is not None:
-                    ckpt_fut.result()
-                    ckpt_job.shutdown()
+                # join the export even when val_proc raises — a leaked
+                # worker thread would hide concurrent export failures
+                try:
+                    if val_proc is not None:
+                        val_proc()
+                finally:
+                    if ckpt_job is not None:
+                        ckpt_fut.result()
+                        ckpt_job.shutdown()
 
             pending.append(process)
             run_pending(in_flight)

@@ -9,9 +9,11 @@ from __future__ import annotations
 
 import os
 import shutil
+import tempfile
 import urllib.error
 import urllib.request
 import zipfile
+from typing import Optional
 
 # socket timeout for checkpoint downloads — without one, a network that
 # blackholes packets (rather than refusing) would hang model
@@ -20,8 +22,11 @@ FETCH_TIMEOUT_S = float(os.environ.get("CDTPU_FETCH_TIMEOUT", "60"))
 
 
 def get_model_from_url(
-    url: str, local_path: str, is_zip: bool = False, path_root: str = "checkpoints"
+    url: str, local_path: str, is_zip: bool = False,
+    path_root: Optional[str] = None,
 ) -> str:
+    if path_root is None:
+        path_root = os.environ.get("CDTPU_CHECKPOINT_DIR", "checkpoints")
     local_path = os.path.join(path_root, local_path)
     if os.path.exists(local_path):
         print(f"Found cache {local_path}")
@@ -51,8 +56,19 @@ def get_model_from_url(
 
     if is_zip:
         print(f"Unziping {download_path} to {local_path}")
-        with zipfile.ZipFile(download_path, "r") as f:
-            f.extractall(local_path)
+        # extract to a sibling temp dir and rename into place so an
+        # interrupted extractall can't leave a partial directory that the
+        # os.path.exists cache check above would treat as complete
+        tmp_dir = tempfile.mkdtemp(
+            prefix=os.path.basename(local_path) + ".partial.",
+            dir=os.path.dirname(download_path) or ".")
+        try:
+            with zipfile.ZipFile(download_path, "r") as f:
+                f.extractall(tmp_dir)
+            os.rename(tmp_dir, local_path)
+        except BaseException:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            raise
         os.remove(download_path)
     return local_path
 

@@ -79,3 +79,70 @@ def test_real_checkpoint_imports_strict(name):
     depth, _ = model.apply(model.variables, x, train=False)
     d = np.asarray(depth)
     assert np.isfinite(d).all() and (d > 0).all()
+
+
+def _golden_frames(h, w, n=2):
+    """Deterministic photo-like inputs — MUST match
+    tools/make_reference_goldens.py::golden_frames (the tool stamps the
+    frames into the .npz, and the test verifies they agree, so drift is
+    caught rather than silently comparing different inputs)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "make_reference_goldens",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools",
+            "make_reference_goldens.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.golden_frames(h, w, n)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_real_checkpoint_depth_matches_reference_golden(name):
+    """North-star parity gate: our flax forward with the REAL published
+    checkpoint vs the reference torch implementation's depth on
+    bit-identical inputs, within 1% relative RMSE. Runs when BOTH the
+    weights (tools/fetch_checkpoints.py) and the committed reference
+    goldens (tools/make_reference_goldens.py, produced in an online
+    environment with the reference's submodules) are present.
+    Reference: monodepth/depth_model.py::forward via
+    depth_fine_tuning.py::save_depth."""
+    rel, cls_name, module_name = CASES[name]
+    ckpt = os.path.join(CKPT_DIR, rel)
+    golden = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "golden", "real_depth", f"{name}.npz")
+    if not os.path.exists(ckpt):
+        pytest.skip(f"published {name} checkpoint not present at {ckpt}")
+    if not os.path.exists(golden):
+        pytest.skip(
+            f"no reference golden at {golden} — produce it with "
+            "tools/make_reference_goldens.py in an online environment")
+
+    import importlib
+
+    import jax.numpy as jnp
+
+    data = np.load(golden)
+    frames = _golden_frames(*data["feed"])
+    np.testing.assert_array_equal(
+        frames, data["images"],
+        err_msg="golden was produced with different inputs — regenerate "
+                "it (tools/make_reference_goldens.py)")
+
+    cls = getattr(importlib.import_module(module_name), cls_name)
+    model = cls(checkpoint=ckpt)
+    depth, _ = model.apply(
+        model.variables, jnp.asarray(frames)[None], train=False)
+    ours = np.asarray(depth, np.float64).reshape(data["depth"].shape)
+    ref = np.asarray(data["depth"], np.float64)
+    # scale-free comparison in log-inverse-depth (the quantity the
+    # pipeline consumes), relative RMSE vs the reference's spread
+    rms = float(np.sqrt(np.mean((np.log(ours) - np.log(ref)) ** 2)))
+    spread = float(np.sqrt(np.mean(
+        (np.log(ref) - np.log(ref).mean()) ** 2)))
+    assert rms <= 0.01 * max(spread, 1.0), (
+        f"{name}: log-depth RMSE {rms:.5f} vs reference spread "
+        f"{spread:.5f} exceeds the 1% north-star bound")
