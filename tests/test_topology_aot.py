@@ -24,7 +24,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-pytestmark = pytest.mark.slow  # one real-TPU-compiler compile (~2 min)
+# (the AOT-compile test below is marked slow individually; the
+# committed-audit invariant check is fast and runs in the default suite)
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -37,6 +38,7 @@ def _load_tool():
     return mod
 
 
+@pytest.mark.slow  # one real-TPU-compiler compile (~2 min)
 def test_v5e8_train_step_compiles_with_grad_allreduce():
     tb = _load_tool()
     try:
@@ -110,3 +112,43 @@ ENTRY %main () -> f32[] {
     # variadic tuple all-reduce sums its elements
     assert audit["all-reduce"]["count"] == 2
     assert audit["all-reduce"]["bytes"] == (100 + 50) * 2 + 10 * 4
+
+
+def test_committed_audit_invariants():
+    """Fast gate on the committed demo-shape audit (TOPOLOGY_v5e8.json):
+    the numbers the v5e-8 projection is built on must keep positive HBM
+    headroom and a gradient all-reduce in a sane band of the parameter
+    footprint. The audit itself is refreshed with
+    ``python tools/topology_bench.py --update --check`` (run each round;
+    --check fails on >25% collective-byte drift vs this file)."""
+    import json
+
+    path = os.path.join(REPO_ROOT, "TOPOLOGY_v5e8.json")
+    assert os.path.isfile(path), "TOPOLOGY_v5e8.json missing"
+    with open(path) as f:
+        topo = json.load(f)
+
+    progs = topo["programs"]
+    assert {"train_step", "train_epoch", "eval_epoch"} <= set(progs)
+    for name, row in progs.items():
+        assert row["hbm_headroom_pct"] > 0, (name, row["hbm_headroom_pct"])
+
+    # the train step's gradient all-reduce: >= bf16 param footprint
+    # (anything smaller means un-reduced gradients), <= 5x (the s2d
+    # expanded-layout inflation is measured at 3.0x — see PERF.md)
+    from consistent_depth_tpu.models.mannequin_challenge import (
+        MannequinChallengeModel,
+    )
+
+    model = MannequinChallengeModel(checkpoint="", seed=0)
+    n_params = sum(
+        int(np.prod(l.shape))
+        for l in jax.tree_util.tree_leaves(model.variables["params"]))
+    ar = progs["train_step"]["collectives"]["all-reduce"]["bytes"]
+    assert 2 * n_params <= ar <= 10 * n_params, (ar, n_params)
+
+    # the projection must exist and beat the north star on its own
+    # conservative (serialized) number
+    proj = topo["projection"]
+    assert proj["beats_north_star"] is True
+    assert proj["v5e8_serialized"]["total_s"] < proj["north_star_s"]

@@ -217,6 +217,40 @@ def analyze(compiled, compile_s):
     return row
 
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TOPOLOGY_JSON = os.path.join(REPO, "TOPOLOGY_v5e8.json")
+
+
+def check_against_committed(report: dict, committed: dict,
+                            band: float = 0.25):
+    """Regression gate for the committed audit (TOPOLOGY_v5e8.json):
+    every freshly-compiled program must keep positive HBM headroom and
+    its collective traffic within ``band`` of the committed bytes. A
+    violation means the multi-chip program's memory or communication
+    profile changed and the committed audit (and the v5e-8 projection
+    built on it) silently rotted. Returns a list of violations."""
+    bad = []
+    old_progs = committed.get("programs", {})
+    for name, row in report["programs"].items():
+        if row.get("hbm_headroom_pct", -1) <= 0:
+            bad.append(f"{name}: HBM headroom "
+                       f"{row.get('hbm_headroom_pct')}% <= 0")
+        if name not in old_progs:
+            continue
+        for op in ("all-reduce", "all-gather"):
+            new_b = row.get("collectives", {}).get(op, {}).get("bytes", 0)
+            old_b = old_progs[name].get(
+                "collectives", {}).get(op, {}).get("bytes", 0)
+            if old_b == 0 and new_b == 0:
+                continue
+            ref = max(old_b, 1)
+            if abs(new_b - old_b) / ref > band:
+                bad.append(
+                    f"{name}: {op} bytes {new_b} vs committed {old_b} "
+                    f"(> {band:.0%} drift)")
+    return bad
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--topology", default="v5e:2x4",
@@ -226,6 +260,13 @@ def main():
     ap.add_argument("--programs", default="train_epoch,eval_epoch,train_step")
     ap.add_argument("--dump-hlo", default="",
                     help="directory to write each program's optimized HLO")
+    ap.add_argument("--check", action="store_true",
+                    help="compare the fresh audit against the committed "
+                         "TOPOLOGY_v5e8.json bands (exit 1 on drift)")
+    ap.add_argument("--update", action="store_true",
+                    help="write the fresh audit back into "
+                         "TOPOLOGY_v5e8.json (programs/shapes keys; the "
+                         "projection key is preserved)")
     args = ap.parse_args()
 
     # array math (model init) stays on host CPU; only the AOT lowering
@@ -297,6 +338,34 @@ def main():
                 f.write(compiled.as_text())
 
     print(json.dumps(report, indent=1))
+
+    if (args.check or args.update) and args.tiny:
+        print("[topology] --check/--update ignored under --tiny "
+              "(committed audit is demo-shape)", file=sys.stderr)
+        return
+    if args.check and os.path.isfile(TOPOLOGY_JSON):
+        with open(TOPOLOGY_JSON) as f:
+            committed = json.load(f)
+        bad = check_against_committed(report, committed)
+        if bad:
+            print("[topology] CHECK FAILED:\n  " + "\n  ".join(bad),
+                  file=sys.stderr)
+            if not args.update:
+                sys.exit(1)
+        else:
+            print("[topology] check vs committed audit: OK",
+                  file=sys.stderr)
+    if args.update:
+        committed = {}
+        if os.path.isfile(TOPOLOGY_JSON):
+            with open(TOPOLOGY_JSON) as f:
+                committed = json.load(f)
+        for key in ("topology", "n_chips", "device_kind", "shapes"):
+            committed[key] = report[key]
+        committed.setdefault("programs", {}).update(report["programs"])
+        with open(TOPOLOGY_JSON, "w") as f:
+            json.dump(committed, f, indent=1)
+        print(f"[topology] wrote {TOPOLOGY_JSON}", file=sys.stderr)
 
 
 if __name__ == "__main__":
