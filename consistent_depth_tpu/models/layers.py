@@ -247,6 +247,93 @@ def _bwd_policy(H: int, W: int, C_in: int, k: int, C_out: int,
     return gx_s, gw_s
 
 
+# ---------------------------------------------------------------------------
+# Fused Pallas s2d conv (ops/s2d_conv.py): same contraction as the XLA
+# s2d path but the expanded layout lives only in VMEM staging, never in
+# HBM. Off by default; enabled per measurement (tools/s2d_layout_bench).
+# ---------------------------------------------------------------------------
+
+_PALLAS_S2D = False
+
+
+def set_pallas_s2d(flag) -> None:
+    """Toggle the fused Pallas s2d conv path. True enables it on TPU;
+    the string "force" also routes on CPU (interpret-mode kernel —
+    parity tests only)."""
+    global _PALLAS_S2D
+    _PALLAS_S2D = flag
+
+
+def _pallas_co_split(k: int, s: int, ci: int, co: int, itemsize: int,
+                     budget: int = 7 * 2**20) -> int:
+    """Split factor over the output channels that keeps one s2d weight
+    block inside the kernel's VMEM budget."""
+    KI, kk, _ = _s2d_gather_indices(k, s)
+    split = 1
+    while (kk * kk * (s * s * ci) * (s * s * co) * itemsize // split
+           > budget and co % (2 * split) == 0):
+        split *= 2
+    return split
+
+
+def _pallas_eligible(x, k: int, s: int) -> bool:
+    if not _PALLAS_S2D or s <= 0:
+        return False
+    if (_PALLAS_S2D != "force"
+            and jax.default_backend() in ("cpu", "gpu")):
+        return False
+    H, W = x.shape[1], x.shape[2]
+    return H % (s * 8) == 0 and W % s == 0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _conv_pallas(cfg, w, x):
+    """s2d conv whose forward (and inherited grad-input) run the fused
+    Pallas kernel; grad-weight keeps the measured XLA formulation.
+    cfg = (s_fwd, gx_s, gw_s, padding) as in :func:`_conv_override`."""
+    from ..ops.s2d_conv import s2d_conv_pallas
+
+    s_fwd = cfg[0]
+    split = _pallas_co_split(
+        w.shape[0], s_fwd, w.shape[2], w.shape[3], x.dtype.itemsize)
+    return s2d_conv_pallas(x, w, s=s_fwd, co_split=split)
+
+
+def _conv_pallas_fwd(cfg, w, x):
+    return _conv_pallas(cfg, w, x), (w, x)
+
+
+def _conv_pallas_bwd(cfg, res, ct):
+    from ..ops.s2d_conv import s2d_conv_pallas
+
+    s_fwd, gx_s, gw_s, padding = cfg
+    w, x = res
+
+    # grad-input: its own conv of the cotangent with the flipped/
+    # channel-swapped kernel (identical to autodiff's transpose —
+    # PERF.md gx_repol). Inherit (gx_s < 0) -> fused kernel at the
+    # forward's factor; native exception (gx_s == 0) -> XLA.
+    wf = w[::-1, ::-1].transpose(0, 1, 3, 2)
+    if gx_s < 0 and _pallas_eligible(ct, w.shape[0], s_fwd):
+        split = _pallas_co_split(
+            wf.shape[0], s_fwd, wf.shape[2], wf.shape[3],
+            ct.dtype.itemsize)
+        dx = s2d_conv_pallas(ct, wf, s=s_fwd, co_split=split)
+    else:
+        dx = _conv_raw(wf, ct, max(gx_s, 0), 1, padding, 1)
+
+    # grad-weight: measured XLA formulation (native for gw_s == 0,
+    # the s2d kernel-gradient otherwise)
+    s_gw = s_fwd if gw_s < 0 else gw_s
+    _, pull = jax.vjp(
+        lambda w_: _conv_raw(w_, x, s_gw, 1, padding, 1), w)
+    (dw,) = pull(ct)
+    return dw, dx
+
+
+_conv_pallas.defvjp(_conv_pallas_fwd, _conv_pallas_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _conv_override(cfg, w, x):
     """Conv whose forward/grad-input/grad-weight formulations are
@@ -315,7 +402,9 @@ def conv_compute(kernel, bias, x, stride: int = 1, padding: int = 0,
                 x.shape[1], x.shape[2], x.shape[-1], k,
                 kernel.shape[-1], s)
 
-    if gx_s >= 0 or gw_s >= 0:
+    if s > 0 and _pallas_eligible(x, k, s):
+        y = _conv_pallas((s, gx_s, gw_s, padding), w, x)
+    elif gx_s >= 0 or gw_s >= 0:
         y = _conv_override((s, gx_s, gw_s, padding), w, x)
     else:
         y = _conv_raw(w, x, s, stride, padding, dilation)

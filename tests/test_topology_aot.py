@@ -132,6 +132,10 @@ def test_committed_audit_invariants():
     assert {"train_step", "train_epoch", "eval_epoch"} <= set(progs)
     for name, row in progs.items():
         assert row["hbm_headroom_pct"] > 0, (name, row["hbm_headroom_pct"])
+        # generated-code ceiling: code bytes scale with conv INSTANCES
+        # (XLA does not dedup — PERF.md cold-compile bisect); a jump
+        # past this means an unrolled-conv regression, not noise
+        assert row["code_mib"] < 320, (name, row["code_mib"])
 
     # the train step's gradient all-reduce: >= bf16 param footprint
     # (anything smaller means un-reduced gradients), <= 5x (the s2d
