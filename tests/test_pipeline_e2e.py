@@ -97,10 +97,16 @@ def test_golden_parity(pipeline_run):
     Tight bands on the training-free artifacts (initial depth inference,
     pre-training eval losses, calibration scales): these are
     deterministic forward passes where any drift means a numerics
-    change. Loose sanity bands on post-training artifacts: two Adam
-    epochs on a random-init net amplify benign reduction-order changes,
-    so only gross regressions (wrong loss, broken update) are caught
-    there.
+    change. The post-training bands are MEASURED (tools/band_drift.py,
+    2026-08-20, 3 subprocess runs on the recording backend): run-to-run
+    drift on one host is bitwise ZERO (seeded + XLA:CPU deterministic),
+    and the only historical source of vs-golden drift was an
+    intentional numerics change (the round-4 backward-conv policy moved
+    post-train eval losses 1.64e-3 rel / final depth 2.7e-4 RMSE while
+    leaving every forward artifact identical). Bands are set ~30x that
+    scale to absorb cross-host XLA:CPU codegen variation; anything
+    bigger than that IS an (intentional or not) numerics change and
+    must come with regenerated goldens.
     """
     import sys
 
@@ -140,17 +146,20 @@ def test_golden_parity(pipeline_run):
     pre = [n for n in e if "_e0000_" in n or n == "loss_e0000.json"]
     assert pre, f"pre-training eval missing from comparison: {list(e)}"
     for name in e:
-        band = 1e-3 if name in pre else 0.5
+        # post-train band: measured drift is 0 run-to-run and was
+        # 1.64e-3 across the one intentional backward-numerics change
+        # (see docstring) — 0.05 = ~30x margin
+        band = 1e-3 if name in pre else 0.05
         for key, v in e[name].items():
             assert v["rel_diff"] < band, (
                 f"eval {name} {key} out of band: {v}")
 
-    # 4. final depth: loose sanity band (training chaos amplifies
-    # benign drift; a broken loss/update moves it far more than 25%)
+    # 4. final depth: measured drift 0 run-to-run / 2.7e-4 across the
+    # round-4 backward-policy change — 0.02 = ~74x margin
     d = ca.compare_depth_dirs(
         pjoin(GOLDEN_DIR, "final_depth"), pjoin(ft_out_dir, "depth"))
     assert d["frames_compared"] == 6
-    assert d["rmse_max"] < 0.25, f"final depth out of band: {d}"
+    assert d["rmse_max"] < 0.02, f"final depth out of band: {d}"
 
 
 def test_pipeline_is_idempotent(pipeline_run):
