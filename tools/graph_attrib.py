@@ -141,6 +141,14 @@ def main():
     finally:
         layers.set_s2d_enabled(True)
 
+    # fused Pallas s2d convs in-net (round 5): forward + inherited
+    # grad-input through the VMEM-staged kernel, grad-weight unchanged
+    layers.set_pallas_s2d(True)
+    try:
+        report("pallas_s2d", slope_timed(lambda n: chain(fwd_bwd, n)))
+    finally:
+        layers.set_pallas_s2d(False)
+
 
 if __name__ == "__main__":
     main()

@@ -198,12 +198,23 @@ def main():
     ap.add_argument("--measured-single-chip", type=float, default=None,
                     help="bench.py 20-epoch value to validate against "
                          "(default: read BENCH_r03.json-style latest)")
+    ap.add_argument("--host-only", action="store_true",
+                    help="re-measure only the HOST-side inputs (eval "
+                         "artifact writes, checkpoint export, per-step "
+                         "bookkeeping) on this host and carry the "
+                         "committed projection's device terms — for "
+                         "when the chip is unreachable; host work runs "
+                         "on the same tunnel-client host either way")
     args = ap.parse_args()
 
     from consistent_depth_tpu.utils.jit_cache import (
         enable_persistent_jit_cache,
     )
 
+    if args.host_only:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
     enable_persistent_jit_cache()
 
     import bench
@@ -229,21 +240,30 @@ def main():
         LossWeights(lambda_view_baseline=0.1, lambda_reprojection=1.0),
         mesh=None, precision="bf16")
     state = engine.init_state()
-    dev_data = engine.put_data(data)
-
-    rng = np.random.default_rng(1)
-    order = np.arange(steps * batch) % P
-    rng.shuffle(order)
-    idx_mat = order.reshape(steps, batch).astype(np.int32)
-    valid_mat = np.ones_like(idx_mat, np.float32)
-
-    dev, state = measure_device(
-        engine, state, dev_data, idx_mat, valid_mat, n_frames, H, W)
-    host = measure_host(
-        engine, state, data, n_frames, H, W, P, steps, batch)
 
     with open(TOPOLOGY_JSON) as f:
         topo = json.load(f)
+
+    if args.host_only:
+        prev = topo["projection"]["inputs"]
+        dev = {
+            "train_step_s": prev["train_step_ms"] / 1e3,
+            "eval_fwd_step_s": prev["eval_fwd_step_ms"] / 1e3,
+            "eval_loss_step_s": prev["eval_loss_step_ms"] / 1e3,
+            "fetch_eval_s": prev["fetch_eval_s"],
+        }
+    else:
+        dev_data = engine.put_data(data)
+        rng = np.random.default_rng(1)
+        order = np.arange(steps * batch) % P
+        rng.shuffle(order)
+        idx_mat = order.reshape(steps, batch).astype(np.int32)
+        valid_mat = np.ones_like(idx_mat, np.float32)
+        dev, state = measure_device(
+            engine, state, dev_data, idx_mat, valid_mat, n_frames, H, W)
+
+    host = measure_host(
+        engine, state, data, n_frames, H, W, P, steps, batch)
     ar_bytes = topo["programs"]["train_step"]["collectives"][
         "all-reduce"]["bytes"]
 
@@ -270,6 +290,8 @@ def main():
                     break
 
     report = {
+        "mode": "host-only (device terms carried from the previous "
+                "projection)" if args.host_only else "full",
         "inputs": {
             "train_step_ms": round(1e3 * m.train_step_s, 2),
             "eval_fwd_step_ms": round(1e3 * m.eval_fwd_step_s, 2),
