@@ -156,3 +156,34 @@ def test_committed_audit_invariants():
     proj = topo["projection"]
     assert proj["beats_north_star"] is True
     assert proj["v5e8_serialized"]["total_s"] < proj["north_star_s"]
+
+
+def test_check_against_committed_logic():
+    """Unit test of the --check drift gate (no compile)."""
+    tb = _load_tool()
+    committed = {"programs": {"train_step": {
+        "hbm_headroom_pct": 60.0,
+        "collectives": {"all-reduce": {"bytes": 100}}}}}
+
+    ok_report = {"programs": {"train_step": {
+        "hbm_headroom_pct": 55.0,
+        "collectives": {"all-reduce": {"bytes": 110}}}}}
+    assert tb.check_against_committed(ok_report, committed) == []
+
+    drift = {"programs": {"train_step": {
+        "hbm_headroom_pct": 55.0,
+        "collectives": {"all-reduce": {"bytes": 200}}}}}
+    bad = tb.check_against_committed(drift, committed)
+    assert len(bad) == 1 and "all-reduce" in bad[0]
+
+    oom = {"programs": {"train_step": {
+        "hbm_headroom_pct": -3.0,
+        "collectives": {"all-reduce": {"bytes": 100}}}}}
+    bad = tb.check_against_committed(oom, committed)
+    assert len(bad) == 1 and "headroom" in bad[0]
+
+    # a new program absent from the committed audit: headroom still
+    # checked, no byte band to compare against
+    new_prog = {"programs": {"extra": {
+        "hbm_headroom_pct": 10.0, "collectives": {}}}}
+    assert tb.check_against_committed(new_prog, committed) == []
