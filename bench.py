@@ -114,19 +114,36 @@ def traced_matmul_flops(fn, *args) -> float:
             return 2.0 * n_out * contraction
         return 0.0
 
+    def as_jaxpr(v):
+        # accept both ClosedJaxpr (.jaxpr) and raw Jaxpr (.eqns) params
+        # — pallas_call carries its kernel as a raw Jaxpr
+        if hasattr(v, "eqns"):
+            return v
+        return getattr(v, "jaxpr", None)
+
     def walk(jaxpr) -> float:
         total = 0.0
         for eqn in jaxpr.eqns:
             total += conv_eqn_flops(eqn)
-            mult = eqn.params.get("length", 1) \
-                if eqn.primitive.name == "scan" else 1
+            if eqn.primitive.name == "scan":
+                mult = eqn.params.get("length", 1)
+            elif eqn.primitive.name == "pallas_call":
+                # kernel body executes once per grid program
+                gm = eqn.params.get("grid_mapping")
+                grid = getattr(gm, "grid", None) or \
+                    eqn.params.get("grid", ())
+                mult = 1
+                for g in grid or ():
+                    mult *= int(g)
+            else:
+                mult = 1
             for v in eqn.params.values():
-                inner = getattr(v, "jaxpr", None)
+                inner = as_jaxpr(v)
                 if inner is not None:
                     total += mult * walk(inner)
                 elif isinstance(v, (list, tuple)):
                     for w in v:
-                        inner = getattr(w, "jaxpr", None)
+                        inner = as_jaxpr(w)
                         if inner is not None:
                             total += mult * walk(inner)
         return total
