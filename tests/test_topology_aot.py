@@ -80,8 +80,11 @@ def test_v5e8_train_step_compiles_with_grad_allreduce():
         for l in jax.tree_util.tree_leaves(engine.model.variables["params"]))
     # the gradient all-reduce moves every parameter's gradient (bf16)
     # plus the BN batch-stat reductions; anything less means part of
-    # the batch-sharded backward silently went un-reduced
-    assert audit["all-reduce"]["bytes"] >= 2 * n_params, (
+    # the batch-sharded backward silently went un-reduced. Runtime
+    # (loop-weighted) bytes: XLA sinks the scanned inception families'
+    # grad all-reduces into the scan loop, so the static text total
+    # undercounts what one step moves.
+    assert audit["all-reduce"]["bytes_runtime"] >= 2 * n_params, (
         audit["all-reduce"], n_params)
     assert "all-to-all" not in audit, audit
 
@@ -112,6 +115,50 @@ ENTRY %main () -> f32[] {
     # variadic tuple all-reduce sums its elements
     assert audit["all-reduce"]["count"] == 2
     assert audit["all-reduce"]["bytes"] == (100 + 50) * 2 + 10 * 4
+    # no loops in this fixture: runtime == static
+    assert audit["all-reduce"]["bytes_runtime"] == audit["all-reduce"]["bytes"]
+
+
+def test_collective_audit_loop_weighting():
+    """Collectives inside while bodies count trip-count times in
+    bytes_runtime (XLA sinks scanned-family gradient all-reduces into
+    the scan loop); nesting multiplies; async duplicates of one channel
+    take the deepest loop's multiplier."""
+    tb = _load_tool()
+    hlo = """
+%cond.outer (p0: (s32[])) -> pred[] {
+  %constant.1 = s32[]{:T(128)} constant(3)
+  %gte.1 = s32[]{:T(128)} get-tuple-element(%p0), index=0
+  ROOT %lt.1 = pred[]{:T(512)} compare(%gte.1, %constant.1), direction=LT
+}
+
+%cond.inner (p1: (s32[])) -> pred[] {
+  %constant.2 = s32[]{:T(128)} constant(2)
+  %gte.2 = s32[]{:T(128)} get-tuple-element(%p1), index=0
+  ROOT %lt.2 = pred[]{:T(512)} compare(%gte.2, %constant.2), direction=LT
+}
+
+%body.inner (p2: (s32[])) -> (s32[]) {
+  %ar.in = bf16[100]{0} all-reduce(%x), channel_id=21
+  %ar.dup = bf16[100]{0} all-reduce(%x), channel_id=21
+}
+
+%body.outer (p3: (s32[])) -> (s32[]) {
+  %ar.mid = f32[10]{0} all-reduce(%y), channel_id=22
+  %while.in = (s32[]) while(%t0), condition=%cond.inner, body=%body.inner
+}
+
+ENTRY %main () -> f32[] {
+  %ar.top = f32[7]{0} all-reduce(%z), channel_id=23
+  %while.out = (s32[]) while(%t1), condition=%cond.outer, body=%body.outer
+}
+"""
+    audit = tb.audit_collectives(hlo)
+    ar = audit["all-reduce"]
+    assert ar["count"] == 3  # channel 21 deduped
+    assert ar["bytes"] == 100 * 2 + 10 * 4 + 7 * 4
+    # runtime: ch21 x (3*2), ch22 x 3, ch23 x 1
+    assert ar["bytes_runtime"] == 100 * 2 * 6 + 10 * 4 * 3 + 7 * 4
 
 
 def test_committed_audit_invariants():
@@ -187,3 +234,20 @@ def test_check_against_committed_logic():
     new_prog = {"programs": {"extra": {
         "hbm_headroom_pct": 10.0, "collectives": {}}}}
     assert tb.check_against_committed(new_prog, committed) == []
+
+    # when both sides carry loop-weighted bytes, the gate compares
+    # those (static bytes shift with compiler loop-sinking decisions)
+    committed_rt = {"programs": {"train_step": {
+        "hbm_headroom_pct": 60.0,
+        "collectives": {"all-reduce": {"bytes": 100, "bytes_runtime": 400}}}}}
+    runtime_ok = {"programs": {"train_step": {
+        "hbm_headroom_pct": 55.0,
+        # static bytes halved (would trip the 25% band) but runtime
+        # traffic unchanged -> no violation
+        "collectives": {"all-reduce": {"bytes": 50, "bytes_runtime": 410}}}}}
+    assert tb.check_against_committed(runtime_ok, committed_rt) == []
+    runtime_drift = {"programs": {"train_step": {
+        "hbm_headroom_pct": 55.0,
+        "collectives": {"all-reduce": {"bytes": 100, "bytes_runtime": 900}}}}}
+    bad = tb.check_against_committed(runtime_drift, committed_rt)
+    assert len(bad) == 1 and "all-reduce" in bad[0]

@@ -116,6 +116,74 @@ def _shape_bytes(dtype, dims):
     return n * _DTYPE_BYTES.get(dtype, 4)
 
 
+_COMPUTATION_RE = re.compile(r"^(?:ENTRY )?(%\S+) \(")
+_WHILE_RE = re.compile(r" while\(.*?\), condition=(%[^\s,]+), body=(%[^\s,]+)")
+_CONST_RE = re.compile(r"(%\S+) = s32\S* constant\((\d+)\)")
+_COMPARE_RE = re.compile(
+    r"ROOT %\S+ = pred\S* compare\((%[^\s,]+), (%[^\s)]+)\),"
+    r" direction=(LT|LE|GT|GE)")
+
+
+def _loop_multipliers(lines):
+    """Map computation name -> how many times it executes per program
+    run, from the ``while`` nesting structure of optimized HLO.
+
+    XLA sinks collectives into loop bodies (observed: the scanned
+    inception families' gradient all-reduces run once per scan
+    iteration), so a static byte count over the text undercounts the
+    traffic a single program execution moves. Trip counts come from
+    each while's condition computation (``ROOT compare(iter, constant),
+    direction=LT``); an unparseable condition conservatively counts 1."""
+    comp_of_line, comp = [], None
+    comp_lines = {}
+    for line in lines:
+        m = _COMPUTATION_RE.match(line)
+        if m:
+            comp = m.group(1)
+        comp_of_line.append(comp)
+        comp_lines.setdefault(comp, []).append(line)
+
+    # trip count of each condition computation
+    trips = {}
+    for name, body in comp_lines.items():
+        consts, cmp_m = {}, None
+        for line in body:
+            cm = _CONST_RE.search(line)
+            if cm:
+                consts[cm.group(1)] = int(cm.group(2))
+            rm = _COMPARE_RE.search(line)
+            if rm:
+                cmp_m = rm
+        if cmp_m is None:
+            continue
+        a, b, direction = cmp_m.groups()
+        bound = consts.get(b, consts.get(a))
+        if bound is not None:
+            trips[name] = bound + (1 if direction in ("LE", "GE") else 0)
+
+    # body computation -> (computation containing the while, trip count)
+    parent = {}
+    for i, line in enumerate(lines):
+        wm = _WHILE_RE.search(line)
+        if wm and "=" in line[:wm.start()]:
+            cond, body = wm.groups()
+            parent[body] = (comp_of_line[i], trips.get(cond, 1))
+
+    mult = {}
+
+    def resolve(name, seen=()):
+        if name in mult:
+            return mult[name]
+        if name not in parent or name in seen:
+            return 1
+        up, trip = parent[name]
+        m = resolve(up, seen + (name,)) * trip
+        mult[name] = m
+        return m
+
+    return {name: resolve(name) for name in comp_lines if name}, comp_of_line
+
+
 def audit_collectives(hlo_text: str):
     """Count LOGICAL collectives in optimized HLO, with per-op bytes.
 
@@ -125,10 +193,20 @@ def audit_collectives(hlo_text: str):
     duplicates the instruction textually (observed: one capture-buffer
     all-gather appearing 199x across async_collective_fusion.* bodies).
     Variadic (tuple) collectives sum their element shapes — the flat
-    gradient all-reduce moves ~181 conv-grad tensors in one channel."""
+    gradient all-reduce moves ~181 conv-grad tensors in one channel.
+
+    Two byte totals per op: ``bytes`` counts each logical collective
+    once (static text), ``bytes_runtime`` weights collectives inside
+    ``while`` bodies by the loop trip count — the traffic one program
+    execution actually moves (XLA sinks the scanned inception families'
+    gradient all-reduces into the scan loop; for the epoch programs the
+    outer steps-scan multiplies in as well, so their runtime figure is
+    per-epoch, not per-step)."""
+    lines = hlo_text.splitlines()
+    mults, comp_of_line = _loop_multipliers(lines)
     seen_channels = {}
     out = {}
-    for lineno, line in enumerate(hlo_text.splitlines()):
+    for lineno, line in enumerate(lines):
         m = _OP_RE.search(line)
         if m is None:
             continue
@@ -136,11 +214,18 @@ def audit_collectives(hlo_text: str):
         if eq < 0 or eq > m.start():
             continue
         op = m.group(1)
+        mult = mults.get(comp_of_line[lineno], 1)
         ch = _CHANNEL_RE.search(line)
         key = (op, ch.group(1)) if ch else (op, f"line{lineno}")
         if key in seen_channels:
+            # async duplicates of one channel can appear in several
+            # computations; the loop the collective really lives in is
+            # the deepest one — keep the max multiplier
+            rec, nbytes, prev = seen_channels[key]
+            if mult > prev:
+                rec["bytes_runtime"] += nbytes * (mult - prev)
+                seen_channels[key] = (rec, nbytes, mult)
             continue
-        seen_channels[key] = True
         shapes = _SHAPE_RE.findall(line[:m.start()])
         if not shapes:
             continue
@@ -166,10 +251,13 @@ def audit_collectives(hlo_text: str):
             d, s = max(zip(shapes, sizes), key=lambda t: t[1])[0]
             label = f"{d}[{s}]" + (f" (+{len(sizes) - 1} tensors)"
                                    if len(sizes) > 1 else "")
-        rec = out.setdefault(op, {"count": 0, "bytes": 0, "shapes": {}})
+        rec = out.setdefault(
+            op, {"count": 0, "bytes": 0, "bytes_runtime": 0, "shapes": {}})
         rec["count"] += 1
         rec["bytes"] += nbytes
+        rec["bytes_runtime"] += nbytes * mult
         rec["shapes"][label] = rec["shapes"].get(label, 0) + 1
+        seen_channels[key] = (rec, nbytes, mult)
     # keep only the 5 most frequent shapes per op to bound output
     for rec in out.values():
         top = sorted(rec["shapes"].items(), key=lambda kv: -kv[1])[:5]
@@ -238,9 +326,17 @@ def check_against_committed(report: dict, committed: dict,
         if name not in old_progs:
             continue
         for op in ("all-reduce", "all-gather"):
-            new_b = row.get("collectives", {}).get(op, {}).get("bytes", 0)
-            old_b = old_progs[name].get(
-                "collectives", {}).get(op, {}).get("bytes", 0)
+            new_rec = row.get("collectives", {}).get(op, {})
+            old_rec = old_progs[name].get("collectives", {}).get(op, {})
+            # loop-weighted traffic is the stable semantics (static text
+            # bytes shift whenever the compiler re-decides loop sinking);
+            # compare it when both sides carry it
+            if "bytes_runtime" in new_rec and "bytes_runtime" in old_rec:
+                new_b = new_rec["bytes_runtime"]
+                old_b = old_rec["bytes_runtime"]
+            else:
+                new_b = new_rec.get("bytes", 0)
+                old_b = old_rec.get("bytes", 0)
             if old_b == 0 and new_b == 0:
                 continue
             ref = max(old_b, 1)
