@@ -16,11 +16,12 @@ JIT=/tmp/jit_e2e_r5
 
 if [ ! -f "$SRC/frames.txt" ]; then
   python - <<'EOF'
-import sys, time
+import os, sys, time
 sys.path.insert(0, '.')
 sys.path.insert(0, 'tests')
 sys.path.insert(0, 'tools')
 from demo_run import build_dataset
+os.makedirs('/tmp/cdtpu_e2e_src', exist_ok=True)
 t0 = time.perf_counter()
 s, n = build_dataset('/tmp/cdtpu_e2e_src', 244, 224, 384)
 print(f'build_dataset: {s:.1f}s, {n} flows, total {time.perf_counter()-t0:.1f}s')
