@@ -13,11 +13,22 @@ from ..io import image_io
 
 
 def _magma_lut() -> np.ndarray:
-    """(256, 1, 3) uint8 BGR magma colormap LUT."""
+    """(256, 1, 3) uint8 BGR magma colormap LUT with the rendering's
+    gamma-2.2 pass folded in.
+
+    The reference computes ``((colormap(x)/255) ** 2.2) * 255`` as a
+    float image per frame and lets ``cv2.imwrite`` saturate-cast it to
+    u8 (reference: utils/visualization.py:20-37). Since the colormap is
+    a 256-entry lookup, applying the gamma to the LUT entries once and
+    rounding with ``np.rint`` (= cv2's round-half-to-even
+    ``saturate_cast<uchar>``) yields bit-identical PNG pixels while
+    skipping a per-frame float64 power over H*W*3 — measured ~1.1 s per
+    244-frame epoch on a 1-core host (PERF.md "Measured end-to-end")."""
     from matplotlib import cm
 
     colors = np.array(cm.get_cmap("magma").colors)  # (256, 3) RGB [0,1]
-    return (colors[:, None, ::-1] * 255).astype(np.uint8)
+    lut = (colors[:, None, ::-1] * 255).astype(np.uint8)
+    return np.rint(((lut / 255.0) ** 2.2) * 255).astype(np.uint8)
 
 
 _CM_MAGMA = None
@@ -25,8 +36,9 @@ _CM_MAGMA = None
 
 def visualize_depth(depth, depth_min=None, depth_max=None):
     """Magma-colored sqrt-scaled gamma-2.2 depth rendering
-    (reference: utils/visualization.py:20-37). Returns float BGR
-    image in [0, 255]."""
+    (reference: utils/visualization.py:20-37). Returns uint8 BGR
+    image (same pixels cv2.imwrite produced from the reference's float
+    output — see _magma_lut)."""
     global _CM_MAGMA
     import cv2
 
@@ -41,7 +53,7 @@ def visualize_depth(depth, depth_min=None, depth_max=None):
     depth_scaled = (depth - depth_min) / (depth_max - depth_min)
     depth_scaled = np.clip(np.nan_to_num(depth_scaled), 0, 1) ** 0.5
     depth_u8 = np.uint8(depth_scaled * 255)
-    return ((cv2.applyColorMap(depth_u8, _CM_MAGMA) / 255) ** 2.2) * 255
+    return cv2.applyColorMap(depth_u8, _CM_MAGMA)
 
 
 def visualize_depth_dir(
