@@ -156,17 +156,29 @@ def measure_host(engine, state, data_dict, n_frames, H, W, n_pairs,
         out_dir=tmp, vis_depth_scale=1.0,
         _print_eval_table=DepthFineTuner._print_eval_table)
 
-    t0 = time.perf_counter()
-    with contextlib.redirect_stdout(
-            open(os.path.join(tmp, "console.log"), "w")):
-        DepthFineTuner.process_eval(shim, metrics, idx, data, "_e0001")
-    host_eval_s = time.perf_counter() - t0
+    # best-of-3: single samples on the shared 1-core measurement host
+    # carry up to ~40% contention noise run-to-run (observed ckpt
+    # export 1.13-1.83 s with no code change); the floor is the term's
+    # actual cost, the excess is whatever else the host was doing
+    def best_of(n, fn):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def run_eval():
+        shim.vis_depth_scale = 1.0
+        with contextlib.redirect_stdout(
+                open(os.path.join(tmp, "console.log"), "w")):
+            DepthFineTuner.process_eval(shim, metrics, idx, data, "_e0001")
+
+    host_eval_s = best_of(3, run_eval)
 
     variables = jax.device_get(engine.variables_of(state))
-    t0 = time.perf_counter()
-    torch_import.save_torch_checkpoint(
-        os.path.join(tmp, "0001.pth"), variables)
-    host_ckpt_s = time.perf_counter() - t0
+    host_ckpt_s = best_of(3, lambda: torch_import.save_torch_checkpoint(
+        os.path.join(tmp, "0001.pth"), variables))
 
     # per-step bookkeeping: the pair-list print + 7 TB scalars
     writer = SummaryWriter(log_dir=os.path.join(tmp, "tb"))
