@@ -276,8 +276,11 @@ def main():
 
     host = measure_host(
         engine, state, data, n_frames, H, W, P, steps, batch)
-    ar_bytes = topo["programs"]["train_step"]["collectives"][
-        "all-reduce"]["bytes"]
+    # runtime (loop-weighted) bytes when the audit carries them — the
+    # traffic one step actually moves; static text bytes undercount
+    # collectives XLA sank into the scanned-family loops
+    ar_rec = topo["programs"]["train_step"]["collectives"]["all-reduce"]
+    ar_bytes = ar_rec.get("bytes_runtime", ar_rec["bytes"])
 
     m = MeasuredInputs(
         train_step_s=dev["train_step_s"],
