@@ -48,4 +48,5 @@ run_one cold
 for i in $(seq 1 "$N_WARM"); do
   run_one warm$i
 done
+python tools/e2e_summarize.py cold $(seq -f 'warm%g' 1 "$N_WARM")
 echo "ALL DONE"
