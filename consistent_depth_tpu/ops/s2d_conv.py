@@ -38,17 +38,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _s2d_conv_kernel(w2_ref, xp_hbm_ref, out_ref, *, s, kk, pad,
+def _s2d_conv_kernel(w2_ref, xp_hbm_ref, out_ref, *, s, kk,
                      block_h, w_out, ci):
     """One (co_block, image, row-band) program.
 
     Args (refs):
-        w2_ref: (kk, kk, s^2*Ci, CO_BLK) s2d kernel block in VMEM
-        xp_hbm_ref: (N, Hp, Wp, Ci) pre-padded input, stays in HBM
-        out_ref: (1, block_h*s, W, co_blk/s^2... ) -- see caller; the
-            out BlockSpec carries (1, block_h, w_out/s? ...) no: the
-            kernel writes s2d-space rows d2s'd back, shaped
-            (1, block_h*s, w_out*s, co_blk//(s*s))... simplified below.
+        w2_ref: (kk, kk, s^2*Ci, CO_BLK) s2d kernel block in VMEM,
+            where CO_BLK = s^2 * co_per (the caller's per-split slice
+            of the expanded output channels)
+        xp_hbm_ref: (N, Hp, Wp, Ci) input, pre-padded by the caller so
+            every tap read is in range; stays in HBM — the kernel DMAs
+            one (block_h + kk - 1) * s row band into VMEM per program
+        out_ref: (1, block_h * s, w_out, co_per) output tile in
+            ORIGINAL (depth-to-space'd) layout — the kernel contracts
+            in s2d space and writes the d2s'd rows back, so the
+            expanded layout never exists outside VMEM
     """
     n = pl.program_id(1)
     i = pl.program_id(2)
@@ -163,7 +167,7 @@ def _s2d_conv_pallas_jit(
             kk, kk, s * s * Ci, s * s * co_per)
         out = pl.pallas_call(
             functools.partial(
-                _s2d_conv_kernel, s=s, kk=kk, pad=pad,
+                _s2d_conv_kernel, s=s, kk=kk,
                 block_h=block_h, w_out=W, ci=Ci),
             grid=(1, N, H // (s * block_h)),
             in_specs=[

@@ -161,6 +161,46 @@ ENTRY %main () -> f32[] {
     assert ar["bytes_runtime"] == 100 * 2 * 6 + 10 * 4 * 3 + 7 * 4
 
 
+def test_collective_audit_call_edge_inherits_loop_multiplier():
+    """A collective whose only occurrence is inside a fusion/async
+    computation (calls=) or a conditional branch invoked FROM a loop
+    body must inherit the loop's trip count."""
+    tb = _load_tool()
+    hlo = """
+%cond (p0: (s32[])) -> pred[] {
+  %constant.1 = s32[]{:T(128)} constant(4)
+  %gte.1 = s32[]{:T(128)} get-tuple-element(%p0), index=0
+  ROOT %lt.1 = pred[]{:T(512)} compare(%gte.1, %constant.1), direction=LT
+}
+
+%async_wrapped (p1: bf16[50]) -> bf16[50] {
+  %ar.in = bf16[50]{0} all-reduce(%x), channel_id=31
+}
+
+%branch_a (p2: f32[5]) -> f32[5] {
+  %ar.a = f32[5]{0} all-reduce(%y), channel_id=32
+}
+
+%branch_b (p3: f32[5]) -> f32[5] {
+  %noop = f32[5]{0} copy(%y)
+}
+
+%body (p4: (s32[])) -> (s32[]) {
+  %start = bf16[50]{0} fusion(%x), kind=kOutput, calls=%async_wrapped
+  %condc = f32[5]{0} conditional(%p, %y, %y), branch_computations={%branch_a, %branch_b}
+}
+
+ENTRY %main () -> f32[] {
+  %while.1 = (s32[]) while(%t), condition=%cond, body=%body
+}
+"""
+    ar = tb.audit_collectives(hlo)["all-reduce"]
+    assert ar["count"] == 2
+    assert ar["bytes"] == 50 * 2 + 5 * 4
+    # both in-fusion and in-branch collectives run 4x (the loop trips)
+    assert ar["bytes_runtime"] == (50 * 2 + 5 * 4) * 4
+
+
 def test_committed_audit_invariants():
     """Fast gate on the committed demo-shape audit (TOPOLOGY_v5e8.json):
     the numbers the v5e-8 projection is built on must keep positive HBM
@@ -230,10 +270,18 @@ def test_check_against_committed_logic():
     assert len(bad) == 1 and "headroom" in bad[0]
 
     # a new program absent from the committed audit: headroom still
-    # checked, no byte band to compare against
+    # checked, no byte band to compare against — but a committed
+    # program MISSING from the fresh report is a violation (renamed/
+    # dropped programs must not pass the gate silently)
     new_prog = {"programs": {"extra": {
         "hbm_headroom_pct": 10.0, "collectives": {}}}}
-    assert tb.check_against_committed(new_prog, committed) == []
+    bad = tb.check_against_committed(new_prog, committed)
+    assert len(bad) == 1 and "train_step" in bad[0] and "missing" in bad[0]
+
+    both = {"programs": {
+        "train_step": ok_report["programs"]["train_step"],
+        "extra": new_prog["programs"]["extra"]}}
+    assert tb.check_against_committed(both, committed) == []
 
     # when both sides carry loop-weighted bytes, the gate compares
     # those (static bytes shift with compiler loop-sinking decisions)

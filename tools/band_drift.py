@@ -129,7 +129,6 @@ def main():
                 "initial_depth_rmse": depth_spread(
                     runs[i], runs[j], "initial_depth"),
             })
-    golden_shim = {"eval": pjoin(GOLDEN_DIR, "eval")}
     if os.path.isdir(GOLDEN_DIR):
         for i, r in enumerate(runs):
             pre, post = eval_spread(GOLDEN_DIR, r)
@@ -142,7 +141,6 @@ def main():
                 "initial_depth_rmse": depth_spread(
                     GOLDEN_DIR, r, "initial_depth"),
             })
-    _ = golden_shim
 
     def worst(key, rows):
         return max((r[key] for r in rows), default=0.0)

@@ -142,12 +142,23 @@ def main():
         layers.set_s2d_enabled(True)
 
     # fused Pallas s2d convs in-net (round 5): forward + inherited
-    # grad-input through the VMEM-staged kernel, grad-weight unchanged
-    layers.set_pallas_s2d(True)
-    try:
-        report("pallas_s2d", slope_timed(lambda n: chain(fwd_bwd, n)))
-    finally:
-        layers.set_pallas_s2d(False)
+    # grad-input through the VMEM-staged kernel, grad-weight unchanged.
+    # Known-rejected by Mosaic on the real chip (PERF.md "Fused Pallas
+    # s2d conv") — report the compile error as the row instead of
+    # crashing the whole attribution run; on CPU the kernel is never
+    # eligible, so the row would silently re-measure the baseline —
+    # skip it there.
+    if jax.devices()[0].platform == "cpu":
+        print("pallas_s2d: skipped (kernel ineligible on CPU — the "
+              "row would just re-time the baseline)")
+    else:
+        layers.set_pallas_s2d(True)
+        try:
+            report("pallas_s2d", slope_timed(lambda n: chain(fwd_bwd, n)))
+        except Exception as e:  # Mosaic rejection, expected on TPU
+            print(f"pallas_s2d: COMPILE FAILED ({str(e)[:160]})")
+        finally:
+            layers.set_pallas_s2d(False)
 
 
 if __name__ == "__main__":

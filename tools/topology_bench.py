@@ -122,6 +122,14 @@ _CONST_RE = re.compile(r"(%\S+) = s32\S* constant\((\d+)\)")
 _COMPARE_RE = re.compile(
     r"ROOT %\S+ = pred\S* compare\((%[^\s,]+), (%[^\s)]+)\),"
     r" direction=(LT|LE|GT|GE)")
+# non-loop call edges whose callee runs (at least) once per caller
+# execution: fusions, async wrappers (calls=%comp), and conditional
+# branches (branch_computations={%a, %b}) — a collective living only
+# inside one of these must still inherit the surrounding loop's
+# multiplier
+_CALLS_RE = re.compile(r"calls=(%[^\s,)}]+)")
+_BRANCHES_RE = re.compile(r"branch_computations=\{([^}]*)\}")
+_TO_APPLY_RE = re.compile(r"to_apply=(%[^\s,)}]+)")
 
 
 def _loop_multipliers(lines):
@@ -133,7 +141,11 @@ def _loop_multipliers(lines):
     iteration), so a static byte count over the text undercounts the
     traffic a single program execution moves. Trip counts come from
     each while's condition computation (``ROOT compare(iter, constant),
-    direction=LT``); an unparseable condition conservatively counts 1."""
+    direction=LT``); an unparseable condition conservatively counts 1.
+    Multipliers propagate through non-loop call edges too (``calls=``
+    fusion/async computations, ``branch_computations=`` conditionals,
+    ``to_apply=``) so a collective whose only occurrence is inside a
+    fusion called from a loop body still counts trip-count times."""
     comp_of_line, comp = [], None
     comp_lines = {}
     for line in lines:
@@ -161,13 +173,39 @@ def _loop_multipliers(lines):
         if bound is not None:
             trips[name] = bound + (1 if direction in ("LE", "GE") else 0)
 
-    # body computation -> (computation containing the while, trip count)
+    # callee computation -> (calling computation, per-call multiplier).
+    # While bodies get the loop trip count; fusion/async/conditional
+    # callees run once per caller execution (trip 1). A computation
+    # called from several sites keeps the LARGEST-multiplier caller
+    # (conservative: the audit wants an upper bound on traffic).
     parent = {}
+
+    def add_edge(callee, caller, trip):
+        if callee == caller:
+            return
+        old = parent.get(callee)
+        if old is None or trip > old[1]:
+            parent[callee] = (caller, trip)
+
     for i, line in enumerate(lines):
+        caller = comp_of_line[i]
+        if caller is None:
+            continue
         wm = _WHILE_RE.search(line)
         if wm and "=" in line[:wm.start()]:
             cond, body = wm.groups()
-            parent[body] = (comp_of_line[i], trips.get(cond, 1))
+            parent[body] = (caller, trips.get(cond, 1))
+            continue
+        for m in _CALLS_RE.finditer(line):
+            add_edge(m.group(1), caller, 1)
+        for m in _TO_APPLY_RE.finditer(line):
+            add_edge(m.group(1), caller, 1)
+        bm = _BRANCHES_RE.search(line)
+        if bm:
+            for branch in bm.group(1).split(","):
+                branch = branch.strip()
+                if branch.startswith("%"):
+                    add_edge(branch, caller, 1)
 
     mult = {}
 
@@ -316,9 +354,16 @@ def check_against_committed(report: dict, committed: dict,
     its collective traffic within ``band`` of the committed bytes. A
     violation means the multi-chip program's memory or communication
     profile changed and the committed audit (and the v5e-8 projection
-    built on it) silently rotted. Returns a list of violations."""
+    built on it) silently rotted. A committed program absent from the
+    fresh report is also a violation (a renamed or dropped program must
+    not pass the gate silently). Returns a list of violations."""
     bad = []
     old_progs = committed.get("programs", {})
+    for name in old_progs:
+        if name not in report["programs"]:
+            bad.append(f"{name}: in the committed audit but missing "
+                       "from this run (renamed/dropped program, or a "
+                       "narrowed --programs list)")
     for name, row in report["programs"].items():
         if row.get("hbm_headroom_pct", -1) <= 0:
             bad.append(f"{name}: HBM headroom "
@@ -439,7 +484,12 @@ def main():
         print("[topology] --check/--update ignored under --tiny "
               "(committed audit is demo-shape)", file=sys.stderr)
         return
-    if args.check and os.path.isfile(TOPOLOGY_JSON):
+    if args.check:
+        if not os.path.isfile(TOPOLOGY_JSON):
+            # a gate with no baseline must FAIL, not vacuously pass
+            print(f"[topology] CHECK FAILED: committed audit "
+                  f"{TOPOLOGY_JSON} is missing", file=sys.stderr)
+            sys.exit(1)
         with open(TOPOLOGY_JSON) as f:
             committed = json.load(f)
         bad = check_against_committed(report, committed)
@@ -456,6 +506,15 @@ def main():
         if os.path.isfile(TOPOLOGY_JSON):
             with open(TOPOLOGY_JSON) as f:
                 committed = json.load(f)
+        stale = sorted(set(committed.get("programs", {}))
+                       - set(report["programs"]))
+        if stale:
+            # partial --programs runs must not silently mix audits:
+            # the kept rows were measured under different code/shapes
+            print("[topology] WARNING: keeping committed entries not "
+                  f"re-measured by this run: {', '.join(stale)} — "
+                  "topology/shapes keys now reflect THIS run only",
+                  file=sys.stderr)
         for key in ("topology", "n_chips", "device_kind", "shapes"):
             committed[key] = report[key]
         committed.setdefault("programs", {}).update(report["programs"])
