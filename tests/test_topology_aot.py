@@ -201,6 +201,31 @@ ENTRY %main () -> f32[] {
     assert ar["bytes_runtime"] == (50 * 2 + 5 * 4) * 4
 
 
+def test_trip_count_parses_typed_compare_operands():
+    """The while-condition compare may print operands typed
+    (``compare(s32[] %a, s32[] %b)``) depending on HLO print options;
+    the trip-count parser must handle both forms."""
+    tb = _load_tool()
+    hlo = """
+%cond (p0: (s32[])) -> pred[] {
+  %constant.9 = s32[]{:T(128)} constant(5)
+  %gte.9 = s32[]{:T(128)} get-tuple-element(%p0), index=0
+  ROOT %lt.9 = pred[]{:T(512)} compare(s32[]{:T(128)} %gte.9, s32[]{:T(128)} %constant.9), direction=LT
+}
+
+%body (p1: (s32[])) -> (s32[]) {
+  %ar.t = f32[10]{0} all-reduce(%y), channel_id=41
+}
+
+ENTRY %main () -> f32[] {
+  %while.9 = (s32[]) while(%t), condition=%cond, body=%body
+}
+"""
+    ar = tb.audit_collectives(hlo)["all-reduce"]
+    assert ar["bytes"] == 40
+    assert ar["bytes_runtime"] == 40 * 5
+
+
 def test_committed_audit_invariants():
     """Fast gate on the committed demo-shape audit (TOPOLOGY_v5e8.json):
     the numbers the v5e-8 projection is built on must keep positive HBM

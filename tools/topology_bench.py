@@ -119,8 +119,11 @@ def _shape_bytes(dtype, dims):
 _COMPUTATION_RE = re.compile(r"^(?:ENTRY )?(%\S+) \(")
 _WHILE_RE = re.compile(r" while\(.*?\), condition=(%[^\s,]+), body=(%[^\s,]+)")
 _CONST_RE = re.compile(r"(%\S+) = s32\S* constant\((\d+)\)")
+# operands may print bare (%name) or typed (s32[] %name) depending on
+# the HLO print options — accept both
 _COMPARE_RE = re.compile(
-    r"ROOT %\S+ = pred\S* compare\((%[^\s,]+), (%[^\s)]+)\),"
+    r"ROOT %\S+ = pred\S* compare\((?:[a-z0-9]+\[[^\]]*\]\S* )?(%[^\s,]+),"
+    r" (?:[a-z0-9]+\[[^\]]*\]\S* )?(%[^\s)]+)\),"
     r" direction=(LT|LE|GT|GE)")
 # non-loop call edges whose callee runs (at least) once per caller
 # execution: fusions, async wrappers (calls=%comp), and conditional
